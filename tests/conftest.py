@@ -6,8 +6,37 @@ before jax is first imported anywhere in the test process.
 """
 
 import os
+import sys
+
+# The axon TPU tunnel registers a PJRT plugin via a PYTHONPATH sitecustomize
+# in every python process; with it loaded, even CPU-backend device->host
+# transfers hang for minutes.  Tests must run on a clean local CPU backend,
+# and the sitecustomize has already run by the time conftest is imported, so
+# re-exec pytest once with a sanitized environment.  The re-exec happens in
+# pytest_configure (below) so the capture manager can first restore the real
+# stdout/stderr fds — at conftest import they already point into pytest's
+# capture files, which would silently swallow the re-exec'd run's output.
+_NEEDS_SANITIZED_REEXEC = (
+    ".axon_site" in os.environ.get("PYTHONPATH", "")
+    and os.environ.get("CSPC_TESTS_SANITIZED") != "1"
+)
+
+
+def pytest_configure(config):
+    if not _NEEDS_SANITIZED_REEXEC:
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env["PYTHONPATH"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    env["CSPC_TESTS_SANITIZED"] = "1"
+    os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
+
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
