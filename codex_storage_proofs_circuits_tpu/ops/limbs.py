@@ -160,7 +160,9 @@ def sub_mod(a: jnp.ndarray, b: jnp.ndarray, p=None) -> jnp.ndarray:
     return jnp.where(borrow == 0, diff, plus_p)
 
 
-def mont_mul(a: jnp.ndarray, b: jnp.ndarray, p=None, pinv_unused=None) -> jnp.ndarray:
+def mont_mul(
+    a: jnp.ndarray, b: jnp.ndarray, p=None, pinv_unused=None, unroll: bool = False
+) -> jnp.ndarray:
     """Montgomery product a*b*R^-1 mod P on (NL, B) limb planes.
 
     CIOS (coarsely integrated operand scanning) with carry-save columns:
@@ -170,6 +172,11 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, p=None, pinv_unused=None) -> jnp.nd
     carry resolution — ~8x fewer ops than a separate SOS multiply + REDC.
 
     Inputs canonical (< P); output canonical.
+
+    unroll=False drives the limb pass with lax.fori_loop (16x smaller traced
+    graph — XLA:CPU compile of the unrolled body is pathologically slow);
+    unroll=True emits the straight-line body (required inside the Pallas
+    kernel, where Mosaic cannot lower the dynamic sublane slice b[j]).
     """
     if p is None:
         p = jnp.asarray(P_LIMBS)
@@ -183,9 +190,8 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, p=None, pinv_unused=None) -> jnp.nd
     pinv0 = U32(bn254.P_INV_NEG_16)  # -P^-1 mod 2^16, scalar
     zero1 = jnp.zeros((1,) + tail, U32)
 
-    acc = jnp.zeros((NL + 1,) + tail, U32)
-    for j in range(NL):
-        t = a * b[j][None]  # (NL, B) 16x16->32 exact
+    def step(acc, bj):
+        t = a * bj[None]  # (NL, B) 16x16->32 exact
         acc = (
             acc
             + jnp.concatenate([t & MASK, zero1], axis=0)
@@ -200,9 +206,16 @@ def mont_mul(a: jnp.ndarray, b: jnp.ndarray, p=None, pinv_unused=None) -> jnp.nd
         )
         # acc[0] is now == 0 mod 2^16: shift the accumulator down one limb,
         # carrying acc[0] >> 16 into the new lowest column
-        acc = jnp.concatenate(
-            [acc[1:2] + (acc[0:1] >> LB), acc[2:], zero1], axis=0
-        )
+        return jnp.concatenate([acc[1:2] + (acc[0:1] >> LB), acc[2:], zero1], axis=0)
+
+    acc = jnp.zeros((NL + 1,) + tail, U32)
+    if unroll:
+        for j in range(NL):
+            acc = step(acc, b[j])
+    else:
+        import jax
+
+        acc, _ = jax.lax.scan(lambda c, bj: (step(c, bj), None), acc, b)
     # value < 2P: resolve carries (top column vanishes), reduce mod P
     res = normalize(acc, max_col_bits=22)
     return _cond_sub_p(res[:NL], p)

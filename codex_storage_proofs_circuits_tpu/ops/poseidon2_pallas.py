@@ -77,14 +77,14 @@ def _perm_body(rc_ref, pc_ref, x, y, z):
     def sbox3(u):
         # one x^5 chain over all three lanes concatenated on the batch axis:
         # keeps the compiled loop body at 3 mont_muls instead of 9
-        u2 = L.mont_mul(u, u, p3, pinv3)
-        u4 = L.mont_mul(u2, u2, p3, pinv3)
-        return L.mont_mul(u4, u, p3, pinv3)
+        u2 = L.mont_mul(u, u, p3, pinv3, unroll=True)
+        u4 = L.mont_mul(u2, u2, p3, pinv3, unroll=True)
+        return L.mont_mul(u4, u, p3, pinv3, unroll=True)
 
     def sbox(u):
-        u2 = L.mont_mul(u, u, p, pinv)
-        u4 = L.mont_mul(u2, u2, p, pinv)
-        return L.mont_mul(u4, u, p, pinv)
+        u2 = L.mont_mul(u, u, p, pinv, unroll=True)
+        u4 = L.mont_mul(u2, u2, p, pinv, unroll=True)
+        return L.mont_mul(u4, u, p, pinv, unroll=True)
 
     # initial linear layer
     s = add(add(x, y), z)

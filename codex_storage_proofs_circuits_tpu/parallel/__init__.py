@@ -1,0 +1,9 @@
+"""Multi-chip sharding: device meshes and sharded Merkle tree builds.
+
+The reference pipeline is strictly sequential (SURVEY.md section 2c); cell
+sharding across chips with per-layer ICI frontier gathers is this framework's
+native scaling design, not a port.
+"""
+
+from .mesh import make_mesh, cells_axis, slots_axis
+from .tree import sharded_slot_tree_layers, sharded_dataset_build
