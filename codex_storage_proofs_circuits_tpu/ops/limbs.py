@@ -187,28 +187,31 @@ def mont_mul(
         b = jnp.broadcast_to(b, (NL,) + tail)
     if p.shape[1:] != tail:
         p = jnp.broadcast_to(p, (NL,) + tail)
-    pinv0 = U32(bn254.P_INV_NEG_16)  # -P^-1 mod 2^16, scalar
+    # BN254 Fr has P == 1 (mod 2^16), so -P^-1 == -1 (mod 2^16) and the
+    # per-limb Montgomery quotient is just a negation — no multiply.
+    assert bn254.P_INV_NEG_16 == MASK
     zero1 = jnp.zeros((1,) + tail, U32)
+    zero_top = jnp.zeros((NL - 1,) + tail, U32)
 
     def step(acc, bj):
+        # The accumulator stays NL columns (2 vregs at 16 sublanes, not 3):
+        # the high halves of the two products belong to column i+1, which is
+        # column i after the down-shift — add them post-shift instead of
+        # materializing an NL+1-row carry plane.
         t = a * bj[None]  # (NL, B) 16x16->32 exact
-        acc = (
-            acc
-            + jnp.concatenate([t & MASK, zero1], axis=0)
-            + jnp.concatenate([zero1, t >> LB], axis=0)
-        )
-        mj = ((acc[0:1] & MASK) * pinv0) & MASK  # (1, B)
+        tl = t & MASK
+        mj = (U32(0) - (acc[0:1] + tl[0:1])) & MASK  # -column0 mod 2^16
         q = p * mj  # (NL, B)
-        acc = (
-            acc
-            + jnp.concatenate([q & MASK, zero1], axis=0)
-            + jnp.concatenate([zero1, q >> LB], axis=0)
+        s = acc + tl + (q & MASK)  # columns < 2^22 + 2^17: no overflow
+        carry = s[0:1] >> LB  # column 0 is 0 mod 2^16 by choice of mj
+        hi = (t >> LB) + (q >> LB)
+        return (
+            jnp.concatenate([s[1:], zero1], axis=0)
+            + hi
+            + jnp.concatenate([carry, zero_top], axis=0)
         )
-        # acc[0] is now == 0 mod 2^16: shift the accumulator down one limb,
-        # carrying acc[0] >> 16 into the new lowest column
-        return jnp.concatenate([acc[1:2] + (acc[0:1] >> LB), acc[2:], zero1], axis=0)
 
-    acc = jnp.zeros((NL + 1,) + tail, U32)
+    acc = jnp.zeros((NL,) + tail, U32)
     if unroll:
         for j in range(NL):
             acc = step(acc, b[j])
@@ -216,9 +219,10 @@ def mont_mul(
         import jax
 
         acc, _ = jax.lax.scan(lambda c, bj: (step(c, bj), None), acc, b)
-    # value < 2P: resolve carries (top column vanishes), reduce mod P
-    res = normalize(acc, max_col_bits=22)
-    return _cond_sub_p(res[:NL], p)
+    # value < 2P (columns <= 16*2^18 + carries, i.e. < 2^23): resolve
+    # carries, reduce mod P
+    res = normalize(acc, max_col_bits=23)
+    return _cond_sub_p(res, p)
 
 
 def mont_sqr(a: jnp.ndarray) -> jnp.ndarray:
