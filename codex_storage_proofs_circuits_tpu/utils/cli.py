@@ -110,11 +110,9 @@ def configs_from_args(args) -> tuple[GlobalConfig, DataSetConfig]:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
-    if args.field != "bn254" or args.hash != "poseidon2":
-        raise SystemExit(
-            f"field/hash combo {args.field}/{args.hash} is not implemented yet "
-            "(bn254/poseidon2 is)"
-        )
+    # combo validation (types.nim:93-109: Monolith is Goldilocks-only)
+    if args.field == "bn254" and args.hash != "poseidon2":
+        raise SystemExit(f"hash `{args.hash}` is not available over bn254")
 
     glob, dset = configs_from_args(args)
 
@@ -146,17 +144,36 @@ def main(argv=None) -> int:
     if args.output is not None:
         print(f"writing proof input into `{args.output}`...")
         t0 = time.time()
-        pi = _generate(args.backend, glob, dset, args.index, args.entropy, args.verbose)
-        from .json_export import export_proof_input
+        if args.field == "goldilocks":
+            from ..oracle.goldilocks import int_to_digest
+            from ..oracle.goldilocks_pipeline import (
+                check_proof_input_gl,
+                export_proof_input_gl,
+                generate_proof_input_gl,
+            )
 
-        export_proof_input(args.output, pi)
-        if args.verbose:
-            print(f"generated in {time.time() - t0:.3f}s")
-        if args.check:
-            from ..models.circuit import check_circuit_semantics
+            pi = generate_proof_input_gl(
+                args.hash, glob, dset, args.index, int_to_digest(args.entropy)
+            )
+            export_proof_input_gl(args.output, pi)
+            if args.verbose:
+                print(f"generated in {time.time() - t0:.3f}s")
+            if args.check:
+                check_proof_input_gl(args.hash, glob, pi)
+                print("circuit semantics check: OK")
+        else:
+            pi = _generate(args.backend, glob, dset, args.index, args.entropy,
+                           args.verbose)
+            from .json_export import export_proof_input
 
-            check_circuit_semantics(glob, dset, pi)
-            print("circuit semantics check: OK")
+            export_proof_input(args.output, pi)
+            if args.verbose:
+                print(f"generated in {time.time() - t0:.3f}s")
+            if args.check:
+                from ..models.circuit import check_circuit_semantics
+
+                check_circuit_semantics(glob, dset, pi)
+                print("circuit semantics check: OK")
 
     print("done")
     return 0
