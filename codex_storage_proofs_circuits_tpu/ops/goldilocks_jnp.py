@@ -330,7 +330,9 @@ def sponge_digest_felts(hash_fun: str, felts: jnp.ndarray) -> jnp.ndarray:
     returns (4, 4, B) digests.  Batched twin of oracle digest_felts."""
     global SPONGE_IV
     if SPONGE_IV is None:
-        SPONGE_IV = jnp.asarray(_const(G.SPONGE_IV_GL))
+        from ..oracle.goldilocks import SPONGE_IV_GL
+
+        SPONGE_IV = jnp.asarray(_const(SPONGE_IV_GL))
     n, _, b = felts.shape
     perm = PERMUTATIONS[hash_fun]
     total = n + 1
