@@ -2,25 +2,38 @@
 
 The permutation is >95% of all work in the reference system (SURVEY.md
 section 3.3); compress/s is the north-star per-chip metric in BASELINE.json
-(target: >10M/s per chip).  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+(target: >10M/s per chip).  Prints ONE JSON line on stdout:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 vs_baseline is value / 10e6 (the BASELINE.json per-chip target — the
-reference itself publishes no hashing-throughput numbers, SURVEY.md section 6).
+reference itself publishes no hashing-throughput numbers, SURVEY.md §6).
+
+`extra` carries the secondary metrics (slot-root wall-clock with per-stage
+breakdown); the full metric set is also written to bench_metrics.json and
+mirrored into BASELINE.json's `published` section.
+
+Timing methodology for the tunneled PJRT backend (axon): block_until_ready
+acknowledges dispatch only, and the FIRST device->host transfer pays a large
+one-time tunnel init — so the tunnel is warmed with one throwaway transfer,
+and every measurement is closed by a tiny device_get (~27 ms, subtracted).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_comp")
 
 import numpy as np
 
 TARGET_PER_CHIP = 10_000_000.0  # BASELINE.json north star
+_SYNC_OVERHEAD = 0.027  # warm tunneled device_get round-trip (measured)
 
 
-def main() -> int:
+def _bench_compress(on_tpu: bool, small: bool) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -28,13 +41,10 @@ def main() -> int:
     from codex_storage_proofs_circuits_tpu.ops import poseidon2_jnp as P2
     from codex_storage_proofs_circuits_tpu.ops import poseidon2_pallas as P2K
 
-    backend = jax.default_backend()
-    on_tpu = backend == "tpu"
-    batch = 1 << 19 if on_tpu else 1 << 12
-    iters = 8 if on_tpu else 2
+    batch = 1 << 17 if on_tpu else (1 << 10 if small else 1 << 12)
+    iters = 16 if on_tpu else 2
 
     rng = np.random.default_rng(0)
-    # random canonical states (any residues < 2^254 work; keep < P via top limb)
     states = rng.integers(0, 1 << 16, size=(3, L.NL, batch), dtype=np.uint32)
     states[:, L.NL - 1, :] &= 0x2FFF  # < P
     x = jnp.asarray(states)
@@ -44,29 +54,118 @@ def main() -> int:
     else:
         perm = jax.jit(P2.permutation)
 
-    # warmup / compile
-    jax.device_get(perm(x)[0, 0, :1])
+    jax.device_get(perm(x)[0, 0, :1])  # compile + tunnel warm
 
     def run_once():
         t0 = time.perf_counter()
         y = x
         for _ in range(iters):
             y = perm(y)
-        # fetch one element: forces completion even if block_until_ready is
-        # lazy under tunneled PJRT backends
         jax.device_get(y[0, 0, :1])
-        return (time.perf_counter() - t0) / iters
+        dt = time.perf_counter() - t0
+        if on_tpu:
+            dt = max(dt - _SYNC_OVERHEAD, 1e-9)
+        return dt / iters
 
     dt = min(run_once() for _ in range(3))
-    per_sec = batch / dt
+    return {"compress_per_s": batch / dt, "batch": batch, "iters": iters}
 
+
+def _bench_slot_root(on_tpu: bool, small: bool) -> dict:
+    """Slot-root build wall-clock (BASELINE.json second headline metric).
+
+    TPU: a 256 MB fake-data slot (131072 x 2048 B cells, 64 KB blocks),
+    streamed through the device in 8192-cell chunks.  CPU --small: a tiny
+    slot so the metric stays exercised everywhere.
+    """
+    import jax
+
+    from codex_storage_proofs_circuits_tpu.models.streaming import (
+        StreamingStats,
+        streaming_slot_root,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.slot import DataSource, SlotConfig
+
+    if on_tpu and not small:
+        cfg = SlotConfig(
+            cell_size=2048,
+            block_size=65536,
+            n_cells=131072,
+            n_samples=1,
+            data_src=DataSource("fake", seed=12345),
+        )
+        chunk = 1 << 13
+    else:
+        cfg = SlotConfig(
+            cell_size=256,
+            block_size=2048,
+            n_cells=64,
+            n_samples=1,
+            data_src=DataSource("fake", seed=12345),
+        )
+        chunk = 32
+    # warm the compile path on one chunk-shaped build
+    stats = StreamingStats()
+    t0 = time.perf_counter()
+    root = streaming_slot_root(cfg, chunk_cells=chunk, stats=stats)
+    wall = time.perf_counter() - t0
+    slot_bytes = cfg.cell_size * cfg.n_cells
+    return {
+        "slot_root_wall_s": wall,
+        "slot_bytes": slot_bytes,
+        "slot_mb_per_s": slot_bytes / wall / 1e6,
+        "slot_root": str(root),
+        "stages": stats.as_dict(),
+    }
+
+
+def main() -> int:
+    small = "--small" in sys.argv
+    import jax
+
+    backend = jax.default_backend()
+    on_tpu = backend == "tpu"
+    if on_tpu:
+        import jax.numpy as jnp
+
+        jax.device_get(jnp.zeros((1,), jnp.uint32)[0])  # one-time tunnel init
+
+    comp = _bench_compress(on_tpu, small)
+    try:
+        slot = _bench_slot_root(on_tpu, small)
+    except Exception as e:  # secondary metric must not sink the headline
+        slot = {"error": f"{type(e).__name__}: {e}"}
+
+    per_sec = comp["compress_per_s"]
     out = {
         "metric": f"poseidon2_compress_per_s_per_chip[{backend}]",
         "value": round(per_sec, 1),
         "unit": "compress/s",
         "vs_baseline": round(per_sec / TARGET_PER_CHIP, 4),
+        "extra": {
+            "slot_root_wall_s": round(slot.get("slot_root_wall_s", -1.0), 3),
+            "slot_mb": round(slot.get("slot_bytes", 0) / 1e6, 1),
+        },
     }
     print(json.dumps(out))
+
+    # full metric set for the record (SURVEY.md section 5 observability)
+    metrics = {"backend": backend, "compress": comp, "slot_root": slot}
+    try:
+        with open(os.path.join(os.path.dirname(__file__), "bench_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE.json")
+        with open(baseline_path) as f:
+            baseline = json.load(f)
+        baseline.setdefault("published", {})[backend] = {
+            "poseidon2_compress_per_s_per_chip": round(per_sec, 1),
+            "slot_root_wall_s": slot.get("slot_root_wall_s"),
+            "slot_bytes": slot.get("slot_bytes"),
+        }
+        with open(baseline_path, "w") as f:
+            json.dump(baseline, f, indent=2)
+    except OSError:
+        pass
     return 0
 
 

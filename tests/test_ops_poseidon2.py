@@ -2,7 +2,7 @@
 
 Small canonical batch (B=16) to bound the one-time XLA compile; the Pallas
 TPU kernel shares the same limb algebra and is exercised on TPU hardware by
-bench.py / tools/tpu_check.py (Mosaic cannot target CPU).
+bench.py / tools/tpu_verify.py (Mosaic cannot target CPU).
 """
 
 import random

@@ -1,0 +1,76 @@
+"""On-hardware verification + tuning sweep for the fused Poseidon2 kernel.
+
+Checks the Pallas kernel bit-exactly against the scalar oracle (including
+the permutation KAT, reference/haskell/src/Poseidon2/Example.hs:13-19) on a
+handful of random states embedded in a large batch, then sweeps batch tiles.
+
+Run on the TPU host: python tools/tpu_verify.py
+(CPU hosts: use the interpret-mode test, CSPC_SLOW_TESTS=1 pytest
+tests/test_pallas_kernel.py — Mosaic cannot target CPU.)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_comp")
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from codex_storage_proofs_circuits_tpu.fields import bn254
+    from codex_storage_proofs_circuits_tpu.ops import limbs as L
+    from codex_storage_proofs_circuits_tpu.ops import poseidon2_pallas as K
+    from codex_storage_proofs_circuits_tpu.oracle import poseidon2 as O
+
+    print("backend:", jax.default_backend(), flush=True)
+    rng = np.random.default_rng(7)
+    B = 1 << 17
+    nchk = 8
+    vals = [
+        [int(x) for x in rng.integers(0, 2**62, size=nchk, dtype=np.int64)]
+        for _ in range(3)
+    ]
+    vals[0][0], vals[1][0], vals[2][0] = 0, 1, 2  # the KAT
+    arr = rng.integers(0, 1 << 16, size=(3, L.NL, B), dtype=np.uint32)
+    arr[:, L.NL - 1, :] &= 0x2FFF  # < P
+    for lane in range(3):
+        pk = np.asarray(L.pack([bn254.to_mont(v) for v in vals[lane]]))
+        arr[lane, :, :nchk] = pk
+    state = jnp.asarray(arr)
+    jax.device_get(state[0, 0, 0])  # tunnel warmup
+
+    t0 = time.time()
+    out = K.permutation(state, batch_tile=512)
+    chk = jax.device_get(out[:, :, :nchk])
+    print(f"compile+first run {time.time()-t0:.1f}s", flush=True)
+    for b in range(nchk):
+        exp = O.permutation((vals[0][b], vals[1][b], vals[2][b]))
+        for i in range(3):
+            got = sum(int(chk[i, l, b]) << (16 * l) for l in range(L.NL))
+            assert got == bn254.to_mont(exp[i]), (b, i, hex(got))
+    print(f"kernel bit-exact vs oracle on {nchk} states (incl. KAT)", flush=True)
+
+    for bt in (256, 512, 1024):
+        out = K.permutation(state, batch_tile=bt)
+        jax.device_get(out[0, 0, :1])
+        t0 = time.perf_counter()
+        n = 10
+        for _ in range(n):
+            out = K.permutation(state, batch_tile=bt)
+        jax.device_get(out[0, 0, :1])
+        dt = (time.perf_counter() - t0 - 0.027) / n
+        print(f"bt={bt}: {dt*1e3:.3f} ms -> {B/dt/1e6:.3f}M perm/s", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
