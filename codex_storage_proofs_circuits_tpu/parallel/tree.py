@@ -51,6 +51,23 @@ def _local_layers(felts_local: jnp.ndarray, block_tree_depth: int) -> list[jnp.n
     return H.tree_reduce_layers(hashes, bottom_depths=(0, block_tree_depth))
 
 
+def _slot_tree_shard_body(f_local, block_tree_depth: int, n_local: int):
+    """Per-chip slot-tree body shared by the single-slot and dataset builds:
+    local subtree layers, ICI frontier all-gather, replicated top layers.
+
+    Returns (local_layers_canonical, top_layers_canonical, root_mont)."""
+    layers = _local_layers(f_local, block_tree_depth)
+    frontier = jax.lax.all_gather(layers[-1], cells_axis, axis=1, tiled=True)
+    tops = H.tree_reduce_layers(
+        frontier, bottom_depths=(0, block_tree_depth), depth_offset=n_local
+    )
+    return (
+        tuple(L.from_mont(x) for x in layers[:-1]),
+        tuple(L.from_mont(x) for x in tops),
+        tops[-1][:, 0],
+    )
+
+
 def sharded_slot_tree_layers(
     felts: jnp.ndarray, mesh: Mesh, block_tree_depth: int
 ) -> tuple[list[jnp.ndarray], list[jnp.ndarray]]:
@@ -72,16 +89,10 @@ def sharded_slot_tree_layers(
     assert 1 << n_top == n_chips, "n_chips must be a power of two"
 
     def fn(f_local):
-        layers = _local_layers(f_local, block_tree_depth)
-        frontier = jax.lax.all_gather(
-            layers[-1], cells_axis, axis=1, tiled=True
-        )  # (NL, n_chips), replicated
-        tops = H.tree_reduce_layers(
-            frontier, bottom_depths=(0, block_tree_depth), depth_offset=n_local
+        locals_c, tops_c, _root = _slot_tree_shard_body(
+            f_local, block_tree_depth, n_local
         )
-        locals_c = [L.from_mont(x) for x in layers[:-1]]
-        tops_c = [L.from_mont(x) for x in tops]
-        return tuple(locals_c), tuple(tops_c)
+        return locals_c, tops_c
 
     spec_in = P(None, None, cells_axis)
     fn_sharded = shard_map(
@@ -111,21 +122,11 @@ def _dataset_build_jit(felts_all, mesh, block_tree_depth: int, n_slots: int):
     n_top = n_cell_chips.bit_length() - 1
 
     def fn(f_local):
-        # f_local: (n_slots/n_slot_chips, nfelts, NL, n_cells/n_cell_chips)
+        # f_local: (n_slots/n_slot_chips, nfelts, NL, n_cells/n_cell_chips);
+        # from_mont happens inside the body while the limb axis still leads
+        # (vmap adds the slot axis outside)
         def one_slot(f):
-            layers = _local_layers(f, block_tree_depth)
-            frontier = jax.lax.all_gather(layers[-1], cells_axis, axis=1, tiled=True)
-            tops = H.tree_reduce_layers(
-                frontier, bottom_depths=(0, block_tree_depth), depth_offset=n_local
-            )
-            root_mont = tops[-1][:, 0]  # (NL,)
-            # from_mont here, while the limb axis still leads (vmap adds the
-            # slot axis outside)
-            return (
-                tuple(L.from_mont(x) for x in layers[:-1]),
-                tuple(L.from_mont(x) for x in tops),
-                root_mont,
-            )
+            return _slot_tree_shard_body(f, block_tree_depth, n_local)
 
         locs, tops, roots_mont = jax.vmap(one_slot)(f_local)
         all_roots = jax.lax.all_gather(

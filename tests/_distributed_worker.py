@@ -1,0 +1,83 @@
+"""Worker process for tests/test_distributed.py (not a pytest module).
+
+Runs as one of N processes of a jax.distributed CPU cluster (gloo
+collectives, 4 virtual devices per process), builds a fake-data dataset on a
+global (slots x cells) mesh spanning both processes, and checks the dataset
+root bit-exactly against the CPU oracle.  Prints "DSET_ROOT_OK <root>" on
+success; the launching test asserts the marker from every process.
+
+Usage: python _distributed_worker.py <pid> <nproc> <port>
+"""
+
+import os
+import sys
+
+pid, nproc, port = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3])
+
+import pathlib
+
+REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import numpy as np
+import jax
+
+from codex_storage_proofs_circuits_tpu.parallel import distributed as DD
+
+DD.initialize(
+    coordinator_address=f"127.0.0.1:{port}",
+    num_processes=nproc,
+    process_id=pid,
+    local_device_count=4,
+)
+
+from codex_storage_proofs_circuits_tpu.oracle.slot import DataSource, calc_slot_tree
+from codex_storage_proofs_circuits_tpu.oracle.merkle import merkle_tree
+from codex_storage_proofs_circuits_tpu.oracle.dataset import (
+    GlobalConfig,
+    DataSetConfig,
+    slot_cfg_from_dataset_cfg,
+)
+from codex_storage_proofs_circuits_tpu.models import data as D
+from codex_storage_proofs_circuits_tpu.ops.encode import encode_cells
+from codex_storage_proofs_circuits_tpu.ops import limbs as L
+from codex_storage_proofs_circuits_tpu.parallel import sharded_dataset_build
+
+assert jax.process_count() == nproc, jax.process_count()
+assert len(jax.devices()) == 4 * nproc
+
+glob = GlobalConfig(max_depth=32, max_log2_n_slots=8, cell_size=64, block_size=128)
+dset = DataSetConfig(
+    n_slots=3, n_cells=16, n_samples=2, data_src=DataSource("fake", seed=5)
+)
+mesh = DD.make_global_mesh()  # (nproc, 4): slots across processes
+assert mesh.shape == {"slots": nproc, "cells": 4}
+
+cfgs = [slot_cfg_from_dataset_cfg(glob, dset, i) for i in range(dset.n_slots)]
+pad = 2 * nproc  # slots axis must divide the padded slot count
+lo, hi = DD.slot_range_for_process(mesh, pad)
+local = np.stack(
+    [
+        np.asarray(encode_cells(D.load_slot_cells(cfgs[min(i, dset.n_slots - 1)])))
+        for i in range(lo, hi)
+    ]
+)
+felts = DD.make_global_cell_array(mesh, local, pad)
+
+locs, tops, dlayers = sharded_dataset_build(
+    felts, mesh, glob.block_tree_depth, n_slots=dset.n_slots
+)
+
+# the dataset layers are replicated -> addressable from every process
+root = L.unpack(np.asarray(jax.device_get(dlayers[-1])))[0]
+oroot = merkle_tree([calc_slot_tree(c).root for c in cfgs]).root
+assert root == oroot, (hex(root), hex(oroot))
+
+# per-slot roots are sharded over the slots axis; check the local ones
+for s in range(dset.n_slots):
+    arr = tops[-1][s]
+    if all(sh.is_fully_addressable for sh in [arr.sharding]):
+        got = L.unpack(np.asarray(jax.device_get(arr)))[0]
+        assert got == calc_slot_tree(cfgs[s]).root
+
+print(f"DSET_ROOT_OK {hex(root)}", flush=True)
