@@ -1,0 +1,120 @@
+"""Streaming (chunked) slot-tree construction with bounded host memory.
+
+The reference materializes every cell of a slot before hashing
+(reference/nim/proof_input/src/gen_input/bn254.nim:21-30); at the 256 MB-1 GB
+slot sizes of BASELINE.json (and the 8 TB ceiling of reference README.md:145-150)
+that is not viable.  Here cells stream through the device in fixed-size
+chunks: each chunk is a complete, aligned subtree of the slot tree (chunk
+size divides n_cells, both powers of two), so its digest layers are exact
+contiguous segments of the global layer stack.  Host memory is bounded by
+one chunk of raw bytes; the device keeps only digest layers (32 B per node,
+~2x the leaf count in total).
+
+Pipelining: chunk k+1's bytes are generated/loaded on the host while chunk
+k's hash+reduce runs on the device (JAX dispatch is async; jnp.asarray of
+the next chunk overlaps the in-flight computation).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..oracle.slot import SlotConfig
+from ..ops import limbs as L
+from ..ops.encode import encode_cells
+from . import data as D
+from . import hashing as H
+
+NL = L.NL
+
+
+@dataclass
+class StreamingStats:
+    """Per-stage wall-clock of a streaming build (observability, SURVEY §5)."""
+
+    datagen_s: float = 0.0
+    encode_s: float = 0.0
+    device_s: float = 0.0  # dispatch of hash+reduce (async; excludes final sync)
+    finalize_s: float = 0.0
+    chunks: int = 0
+    cells: int = 0
+
+    def as_dict(self) -> dict:
+        return dict(self.__dict__)
+
+
+def _chunk_layers_jit(felts, block_tree_depth: int, n_chunk_layers: int):
+    """Hash one chunk's cells and reduce to its subtree root; all layers."""
+    return H.slot_tree_from_felts(felts, block_tree_depth)
+
+
+def streaming_slot_layers(
+    cfg: SlotConfig,
+    chunk_cells: int = 1 << 13,
+    stats: StreamingStats | None = None,
+) -> list[jnp.ndarray]:
+    """Full slot-tree layer stack (canonical limb planes), built in chunks.
+
+    Returns layers[d] of shape (NL, n_cells >> d), layers[0] = cell hashes,
+    layers[-1] = (NL, 1) slot root — identical to
+    H.slot_tree_from_felts(all_cells) but with O(chunk) host memory.
+    """
+    n_cells = cfg.n_cells
+    btd = cfg.cells_per_block.bit_length() - 1
+    if chunk_cells >= n_cells:
+        chunk_cells = n_cells
+    assert chunk_cells % cfg.cells_per_block == 0 or chunk_cells == n_cells
+    assert n_cells % chunk_cells == 0
+    assert chunk_cells & (chunk_cells - 1) == 0
+    assert n_cells > cfg.cells_per_block, "streaming needs a multi-block slot"
+    n_chunks = n_cells // chunk_cells
+    chunk_depth = chunk_cells.bit_length() - 1
+    st = stats if stats is not None else StreamingStats()
+
+    # per-depth segment lists for the in-chunk layers
+    segments: list[list[jnp.ndarray]] = [[] for _ in range(chunk_depth + 1)]
+    for c in range(n_chunks):
+        t0 = time.perf_counter()
+        idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
+        cells = D.load_cells(cfg, idx)
+        t1 = time.perf_counter()
+        felts = encode_cells(cells)
+        t2 = time.perf_counter()
+        layers = _chunk_layers_jit(jnp.asarray(felts), btd, chunk_depth + 1)
+        for d, lyr in enumerate(layers):
+            segments[d].append(lyr)
+        t3 = time.perf_counter()
+        st.datagen_s += t1 - t0
+        st.encode_s += t2 - t1
+        st.device_s += t3 - t2
+        st.chunks += 1
+        st.cells += chunk_cells
+
+    t0 = time.perf_counter()
+    out = [
+        seglist[0] if len(seglist) == 1 else jnp.concatenate(seglist, axis=1)
+        for seglist in segments
+    ]
+    if n_chunks > 1:
+        # reduce the chunk roots; keys follow the global depth schedule
+        chunk_roots = L.to_mont(out[-1])
+        tops = H.tree_reduce_layers(
+            chunk_roots, bottom_depths=(0, btd), depth_offset=chunk_depth
+        )
+        out.extend(L.from_mont(t) for t in tops[1:])
+    out[-1].block_until_ready()
+    st.finalize_s += time.perf_counter() - t0
+    return out
+
+
+def streaming_slot_root(
+    cfg: SlotConfig, chunk_cells: int = 1 << 13, stats: StreamingStats | None = None
+) -> int:
+    """Slot root only (python int), via the chunked build."""
+    layers = streaming_slot_layers(cfg, chunk_cells, stats)
+    return L.unpack(layers[-1])[0]
