@@ -104,14 +104,19 @@ def _bench_slot_root(on_tpu: bool, small: bool) -> dict:
             data_src=DataSource("fake", seed=12345),
         )
         chunk = 32
-    # warm the compile path on one chunk-shaped build
+    # first build pays all pipeline compiles; the second is the measurement
+    t0 = time.perf_counter()
+    root0 = streaming_slot_root(cfg, chunk_cells=chunk)
+    cold = time.perf_counter() - t0
     stats = StreamingStats()
     t0 = time.perf_counter()
     root = streaming_slot_root(cfg, chunk_cells=chunk, stats=stats)
     wall = time.perf_counter() - t0
+    assert root == root0
     slot_bytes = cfg.cell_size * cfg.n_cells
     return {
         "slot_root_wall_s": wall,
+        "slot_root_cold_s": cold,
         "slot_bytes": slot_bytes,
         "slot_mb_per_s": slot_bytes / wall / 1e6,
         "slot_root": str(root),

@@ -17,6 +17,9 @@ the next chunk overlaps the in-flight computation).
 
 from __future__ import annotations
 
+import hashlib
+import json
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -31,6 +34,80 @@ from . import data as D
 from . import hashing as H
 
 NL = L.NL
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint/resume of chunk subtree layers (SURVEY.md section 5: large
+# builds checkpoint layer frontiers; the reference's resume story is file
+# artifacts between process stages, workflow/PROOFS.md:136-161).
+
+
+def _cfg_fingerprint(cfg: SlotConfig, chunk_cells: int) -> str:
+    src = cfg.data_src
+    key = json.dumps(
+        [
+            cfg.cell_size,
+            cfg.block_size,
+            cfg.n_cells,
+            chunk_cells,
+            src.kind,
+            src.seed if src.kind == "fake" else src.filename,
+        ]
+    )
+    return hashlib.sha256(key.encode()).hexdigest()[:16]
+
+
+class ChunkCheckpoint:
+    """Digest-layer checkpoint: one .npz per completed chunk + a manifest.
+
+    Only digests are stored (32 B per node, ~2x leaf count in total), never
+    raw cell data — a resumed build re-derives nothing that was finished.
+    A manifest fingerprint ties the checkpoint to the exact slot config; a
+    mismatch starts clean rather than resuming a different build.
+    """
+
+    def __init__(self, path: str, cfg: SlotConfig, chunk_cells: int):
+        self.path = path
+        self.fp = _cfg_fingerprint(cfg, chunk_cells)
+        self.manifest_path = os.path.join(path, "manifest.json")
+        os.makedirs(path, exist_ok=True)
+        self.done: set[int] = set()
+        if os.path.exists(self.manifest_path):
+            try:
+                with open(self.manifest_path) as f:
+                    m = json.load(f)
+                if m.get("fingerprint") == self.fp:
+                    self.done = {
+                        c
+                        for c in m.get("chunks", [])
+                        if os.path.exists(self._chunk_path(c))
+                    }
+            except (OSError, ValueError):
+                pass
+
+    def _chunk_path(self, c: int) -> str:
+        return os.path.join(self.path, f"chunk_{c:06d}.npz")
+
+    def load(self, c: int) -> list[jnp.ndarray]:
+        with np.load(self._chunk_path(c)) as z:
+            return [jnp.asarray(z[k]) for k in sorted(z.files)]
+
+    def save(self, c: int, layers: list[jnp.ndarray]) -> None:
+        tmp = self._chunk_path(c) + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: savez must not append .npz
+            np.savez(
+                f,
+                **{
+                    f"layer_{d:03d}": np.asarray(jax.device_get(x))
+                    for d, x in enumerate(layers)
+                },
+            )
+        os.replace(tmp, self._chunk_path(c))
+        self.done.add(c)
+        tmp_m = self.manifest_path + ".tmp"
+        with open(tmp_m, "w") as f:
+            json.dump({"fingerprint": self.fp, "chunks": sorted(self.done)}, f)
+        os.replace(tmp_m, self.manifest_path)
 
 
 @dataclass
@@ -57,12 +134,19 @@ def streaming_slot_layers(
     cfg: SlotConfig,
     chunk_cells: int = 1 << 13,
     stats: StreamingStats | None = None,
-) -> list[jnp.ndarray]:
+    checkpoint_dir: str | None = None,
+    stop_after_chunks: int | None = None,
+) -> list[jnp.ndarray] | None:
     """Full slot-tree layer stack (canonical limb planes), built in chunks.
 
     Returns layers[d] of shape (NL, n_cells >> d), layers[0] = cell hashes,
     layers[-1] = (NL, 1) slot root — identical to
     H.slot_tree_from_felts(all_cells) but with O(chunk) host memory.
+
+    checkpoint_dir: persist each completed chunk's digest layers there and
+    resume any matching prior build (ChunkCheckpoint).  stop_after_chunks
+    aborts after that many newly-computed chunks and returns None — for
+    testing resume, and for cooperative preemption in schedulers.
     """
     n_cells = cfg.n_cells
     btd = cfg.cells_per_block.bit_length() - 1
@@ -76,9 +160,21 @@ def streaming_slot_layers(
     chunk_depth = chunk_cells.bit_length() - 1
     st = stats if stats is not None else StreamingStats()
 
+    ckpt = (
+        ChunkCheckpoint(checkpoint_dir, cfg, chunk_cells) if checkpoint_dir else None
+    )
+    new_chunks = 0
     # per-depth segment lists for the in-chunk layers
     segments: list[list[jnp.ndarray]] = [[] for _ in range(chunk_depth + 1)]
     for c in range(n_chunks):
+        if ckpt is not None and c in ckpt.done:
+            for d, lyr in enumerate(ckpt.load(c)):
+                segments[d].append(lyr)
+            st.chunks += 1
+            st.cells += chunk_cells
+            continue
+        if stop_after_chunks is not None and new_chunks >= stop_after_chunks:
+            return None
         t0 = time.perf_counter()
         idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
         cells = D.load_cells(cfg, idx)
@@ -89,11 +185,14 @@ def streaming_slot_layers(
         for d, lyr in enumerate(layers):
             segments[d].append(lyr)
         t3 = time.perf_counter()
+        if ckpt is not None:
+            ckpt.save(c, layers)
         st.datagen_s += t1 - t0
         st.encode_s += t2 - t1
         st.device_s += t3 - t2
         st.chunks += 1
         st.cells += chunk_cells
+        new_chunks += 1
 
     t0 = time.perf_counter()
     out = [

@@ -113,6 +113,10 @@ def main(argv=None) -> int:
     # combo validation (types.nim:93-109: Monolith is Goldilocks-only)
     if args.field == "bn254" and args.hash != "poseidon2":
         raise SystemExit(f"hash `{args.hash}` is not available over bn254")
+    if not (0 <= args.index < args.nslots):
+        raise SystemExit(
+            f"slot index {args.index} out of range (dataset has {args.nslots} slots)"
+        )
 
     glob, dset = configs_from_args(args)
 

@@ -55,3 +55,34 @@ def test_streaming_single_chunk_degenerates():
     layers = streaming_slot_layers(cfg, chunk_cells=64)  # clamped to n_cells
     otree = calc_slot_tree(cfg)
     assert L.unpack(layers[-1])[0] == otree.root
+
+
+def test_streaming_checkpoint_resume(tmp_path):
+    cfg = SlotConfig(
+        cell_size=64,
+        block_size=256,
+        n_cells=32,
+        n_samples=1,
+        data_src=DataSource("fake", seed=77),
+    )
+    ck = str(tmp_path / "ckpt")
+    # interrupted build: only 2 of 4 chunks complete
+    out = streaming_slot_layers(cfg, chunk_cells=8, checkpoint_dir=ck, stop_after_chunks=2)
+    assert out is None
+    import json, os
+    man = json.load(open(os.path.join(ck, "manifest.json")))
+    assert man["chunks"] == [0, 1]
+    # resume: loads chunks 0-1 from disk, computes 2-3
+    stats = StreamingStats()
+    layers = streaming_slot_layers(cfg, chunk_cells=8, checkpoint_dir=ck, stats=stats)
+    assert stats.chunks == 4
+    assert stats.datagen_s > 0  # chunks 2-3 were really computed...
+    otree = calc_slot_tree(cfg)
+    assert L.unpack(layers[-1])[0] == otree.root
+    # a different config must NOT resume from this checkpoint
+    cfg2 = SlotConfig(
+        cell_size=64, block_size=256, n_cells=32, n_samples=1,
+        data_src=DataSource("fake", seed=78),
+    )
+    from codex_storage_proofs_circuits_tpu.models.streaming import ChunkCheckpoint
+    assert ChunkCheckpoint(ck, cfg2, 8).done == set()
