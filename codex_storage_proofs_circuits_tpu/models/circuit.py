@@ -113,10 +113,21 @@ def _masked_path_walk(
     """
     max_depth, b = index_bits.shape
     # per-depth Montgomery key column: bottom key at the listed depths
+    # (callers with odd nodes pass explicit per-depth/lane key planes)
     keys = np.zeros((max_depth, NL, 1), np.uint32)
     for d in range(max_depth):
         keys[d] = P2.KEY_MONT[1 if d in bottom_depths else 0]
     keys = jnp.asarray(np.broadcast_to(keys, (max_depth, NL, b)).copy())
+    return _masked_path_walk_keys(leaves_mont, paths_mont, index_bits, depth_mask, keys)
+
+
+def _masked_path_walk_keys(
+    leaves_mont: jnp.ndarray,
+    paths_mont: jnp.ndarray,
+    index_bits: jnp.ndarray,
+    depth_mask: jnp.ndarray,
+    keys: jnp.ndarray,  # (max_depth, NL, B) Montgomery key planes
+) -> jnp.ndarray:
 
     def body(h, xs):
         sib, bit, mask, key = xs  # bit/mask are (1, B): broadcast over limbs
@@ -135,43 +146,82 @@ def _masked_path_walk(
 
 
 def verify_proof_input_device(glob: GlobalConfig, pi: ProofInput) -> bool:
-    """Batched device re-derivation of the per-sample circuit assertions.
+    """Full device re-derivation of the circuit assertions.
 
-    All nSamples cell hashes run as one sponge batch and all nSamples path
-    walks as one scan of keyed compressions.  Returns True iff every sample
-    reconstructs the slot root (the dataset-level check is scalar; use
-    check_circuit_semantics for the full verdict).
+    Everything per-sample is batched device work: the nSamples index sponges
+    (H(entropy|slotRoot|counter), low-bit extraction on limb planes), the
+    nSamples cell hashes as one sponge batch, the nSamples two-stage path
+    walks as one scan of keyed compressions — plus the dataset-level
+    inclusion walk (odd-capable key schedule).  The host only packs inputs
+    and reads back one boolean per check.
     """
     n_cells = pi.n_cells_per_slot
     log2_n_cells = _ceiling_log2(n_cells)
     btd = glob.block_tree_depth
     n = len(pi.cell_data)
+    max_depth = glob.max_depth
 
-    # sampled indices (host: n tiny sponges)
-    idxs = [
-        sponge2([pi.entropy, pi.slot_root, k + 1]) & (n_cells - 1) for k in range(n)
-    ]
+    # (1) sampled indices: one batched sponge over (entropy, slotRoot, k+1)
+    triples = jnp.stack(
+        [
+            L.pack([pi.entropy] * n),
+            L.pack([pi.slot_root] * n),
+            L.pack(list(range(1, n + 1))),
+        ]
+    )  # (3, NL, n)
+    hash_can = L.from_mont(
+        H.sponge2_scan(P2.pad_felts_rate2(H.to_mont_stack(triples)))
+    )  # (NL, n) canonical
+    assert log2_n_cells <= 32
+    idx = hash_can[0] + (hash_can[1] << 16)  # low 32 bits, exact in uint32
+    idx = idx & np.uint32(n_cells - 1)
+    d_iota = jnp.arange(max_depth, dtype=jnp.uint32)[:, None]
+    bits = (idx[None, :] >> d_iota) & jnp.uint32(1)  # (max_depth, n)
+    mask = jnp.broadcast_to(
+        (d_iota < log2_n_cells).astype(jnp.uint32), (max_depth, n)
+    )
 
-    # batched cell hashes on device
+    # (2) batched cell hashes
     felts = np.array(pi.cell_data, dtype=object).T  # (nfe, n)
     cells = jnp.stack([L.pack(row) for row in felts])  # (nfe, NL, n)
-    mont = H.to_mont_stack(cells)
-    leaf_mont = H.sponge2_scan(P2.pad_felts_rate2(mont))  # (NL, n)
+    leaf_mont = H.sponge2_scan(P2.pad_felts_rate2(H.to_mont_stack(cells)))
 
-    # batched masked path walk on device
-    max_depth = glob.max_depth
+    # (3) batched masked two-stage path walk
     paths = jnp.stack(
         [L.pack([pi.merkle_paths[k][d] for k in range(n)]) for d in range(max_depth)]
     )  # (max_depth, NL, n)
     paths_mont = H.to_mont_stack(paths)
-    bits = np.zeros((max_depth, n), np.uint32)
-    mask = np.zeros((max_depth, n), np.uint32)
-    for k, idx in enumerate(idxs):
-        for d in range(max_depth):
-            bits[d, k] = (idx >> d) & 1
-            mask[d, k] = 1 if d < log2_n_cells else 0
-    roots_mont = _masked_path_walk(
-        leaf_mont, paths_mont, jnp.asarray(bits), jnp.asarray(mask), (0, btd), btd
+    roots_mont = _masked_path_walk(leaf_mont, paths_mont, bits, mask, (0, btd), btd)
+    want_root = L.to_mont(L.pack([pi.slot_root] * n))
+    samples_ok = jnp.all(roots_mont == want_root)
+
+    # (4) dataset-level inclusion (sample_cells.circom:95-109): one walk with
+    # the odd-capable key schedule of the keyed convention (merkle.circom
+    # key = bottom + 2*odd; odd iff the prefix equals the last-index prefix
+    # and the path bit is 0)
+    n_slots = pi.n_slots_per_dataset
+    # singleton dataset tree still walks one bottom-odd compression
+    # (maskBitsCorrected[0] = 1, merkle.circom:53-62)
+    ds_depth = max(1, _ceiling_log2(n_slots))
+    si = pi.slot_index
+    keys_np = np.zeros((ds_depth, NL, 1), np.uint32)
+    j, last = si, n_slots - 1
+    for d in range(ds_depth):
+        # odd node: last in its row with no right sibling (merkle.nim:51-74)
+        odd = 1 if (j == (last >> d) and (j & 1) == 0) else 0
+        keys_np[d] = P2.KEY_MONT[(1 if d == 0 else 0) + 2 * odd]
+        j >>= 1
+    ds_bits = np.array([[(si >> d) & 1] for d in range(ds_depth)], np.uint32)
+    ds_mask = np.ones((ds_depth, 1), np.uint32)
+    ds_path = jnp.stack(
+        [L.pack([pi.slot_proof[d]]) for d in range(ds_depth)]
     )
-    roots = L.unpack(L.from_mont(roots_mont))
-    return all(r == pi.slot_root for r in roots)
+    ds_root_mont = _masked_path_walk_keys(
+        L.to_mont(L.pack([pi.slot_root])),
+        H.to_mont_stack(ds_path),
+        jnp.asarray(ds_bits),
+        jnp.asarray(ds_mask),
+        jnp.asarray(np.broadcast_to(keys_np, (ds_depth, NL, 1)).copy()),
+    )
+    ds_ok_dev = jnp.all(ds_root_mont == L.to_mont(L.pack([pi.data_set_root])))
+    return bool(jax.device_get(jnp.logical_and(samples_ok, ds_ok_dev)))

@@ -53,11 +53,14 @@ def compress_layer(x: jnp.ndarray, y: jnp.ndarray, key: int) -> jnp.ndarray:
 def sponge2_scan(blocks: jnp.ndarray) -> jnp.ndarray:
     """Rate-2 sponge over pre-padded (nblocks, 2, NL, B) Montgomery blocks.
 
-    Same semantics as ops.poseidon2_jnp.sponge2_absorb but routed through the
-    permutation dispatcher so large batches hit the Pallas kernel.
+    Same semantics as ops.poseidon2_jnp.sponge2_absorb; on TPU the whole
+    absorb chain runs as ONE fused Pallas kernel (state loose in VMEM, no
+    HBM round-trips between permutations).
     """
     nb, two, nl, b = blocks.shape
     assert two == 2 and nl == NL
+    if _use_pallas() and b % _PALLAS_MIN_BATCH == 0 and P2K.sponge2_fits(nb):
+        return P2K.sponge2_absorb(blocks, batch_tile=_PALLAS_MIN_BATCH)
     iv = jnp.broadcast_to(jnp.asarray(P2.SPONGE2_IV_MONT), (NL, b)).astype(jnp.uint32)
     zero = jnp.zeros((NL, b), jnp.uint32)
     state = jnp.stack([zero, zero, iv])
@@ -194,6 +197,37 @@ def tree_reduce_general(leaves_mont: jnp.ndarray) -> list[jnp.ndarray]:
         layers.append(parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1))
         bottom = False
     return layers
+
+
+def extract_paths_device(
+    layers: list[jnp.ndarray], indices: jnp.ndarray, max_depth: int
+) -> jnp.ndarray:
+    """Batched Merkle-path gather from a stored layer stack, on device.
+
+    layers[d]: (NL, W >> d) with W a power of two (flat cell->block->slot
+    stack, all widths powers of two so the sibling of node j at depth d is
+    node j^1 — Slot.hs:181-187 semantics, vectorized over samples).
+    indices: (S,) int32 leaf indices.  Returns (max_depth, NL, S) sibling
+    planes, zero-padded beyond the tree depth (types.nim:27-37 padding).
+
+    This replaces the scalar host gather of the round-1 path
+    (per-host partitioned sampled-witness batches, SURVEY.md section 2c):
+    under jit with sharded layers, XLA lowers the takes to collective
+    gathers, so the same code serves the multi-chip path.
+    """
+    s = indices.shape[0]
+    depth = len(layers) - 1
+    out = []
+    idx = indices.astype(jnp.int32)
+    for d in range(max_depth):
+        if d < depth and layers[d].shape[1] > 1:
+            sib = jnp.take(layers[d], (idx >> d) ^ 1, axis=1)
+        else:
+            # beyond the real depth (or the appended singleton compression):
+            # zero sibling
+            sib = jnp.zeros((NL, s), jnp.uint32)
+        out.append(sib)
+    return jnp.stack(out)
 
 
 @functools.partial(jax.jit, static_argnames=("block_tree_depth", "n_groups"))

@@ -70,6 +70,9 @@ def _load():
         lib.cspc_sponge1.argtypes = [_U64P, _U64P, ctypes.c_size_t]
         lib.cspc_fake_cells.argtypes = [
             _U8P, ctypes.c_size_t, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_size_t]
+        lib.cspc_fake_cells_mt.argtypes = [
+            _U8P, ctypes.c_size_t, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_size_t, ctypes.c_int]
         lib.cspc_hash_cells.argtypes = [
             _U64P, _U8P, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_int]
         lib.cspc_merkle_total_nodes.argtypes = [ctypes.c_size_t]
@@ -159,8 +162,8 @@ def sponge1(inputs) -> int:
 def fake_cells(cell_size: int, seed: int, start_idx: int, n: int) -> np.ndarray:
     lib = _load()
     out = np.empty(n * cell_size, np.uint8)
-    lib.cspc_fake_cells(out.ctypes.data_as(_U8P), cell_size,
-                        seed & MASK64, start_idx & MASK64, n)
+    lib.cspc_fake_cells_mt(out.ctypes.data_as(_U8P), cell_size,
+                           seed & MASK64, start_idx & MASK64, n, _nthreads())
     return out.reshape(n, cell_size)
 
 

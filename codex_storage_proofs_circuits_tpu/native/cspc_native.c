@@ -324,6 +324,27 @@ void cspc_fake_cells(uint8_t *out, size_t cell_size, uint64_t seed,
 }
 
 typedef struct {
+  uint8_t *out;
+  size_t cell_size;
+  uint64_t seed, start_idx;
+} fake_ctx;
+
+static void fake_cells_range(void *vctx, size_t b, size_t e) {
+  fake_ctx *c = (fake_ctx *)vctx;
+  for (size_t i = b; i < e; i++)
+    fake_cell(c->out + i * c->cell_size, c->cell_size, c->seed,
+              c->start_idx + i);
+}
+
+/* threaded fake-data generation (cells are independent; the recurrence is
+ * sequential only within a cell, slot.nim:22-32) */
+void cspc_fake_cells_mt(uint8_t *out, size_t cell_size, uint64_t seed,
+                        uint64_t start_idx, size_t n, int nthreads) {
+  fake_ctx ctx = {out, cell_size, seed, start_idx};
+  parallel_for(fake_cells_range, &ctx, n, nthreads);
+}
+
+typedef struct {
   const uint8_t *data;
   size_t cell_size;
   uint64_t *out;

@@ -34,13 +34,13 @@ Design (round 2 rewrite — ~12x the round-1 kernel):
   one exact borrow-chain subtract per lane), so the public API stays
   canonical-Montgomery in / canonical < P out, drop-in for the jnp path.
 
-Bound ledger (entry lanes < 5.05P in columns): entry norm+red -> < 1.06P;
-initial linear s = x+y+z < 3.18P, x+s < 4.24P -> finish -> < 1.06P.
-Internal round: c = x+rc < 2.06P -> u2 < 1.81P -> u4 < 1.62P -> u5 < 1.64P
--> redP -> u5' < 1.01P; u = u5'+y+z < 3.13P; out_x = u+u5' < 4.14P;
-out_y = u+y < 4.19P; out_z = u+2z < 5.25P < 5.2896P; finish -> < 1.06P.
-External round: s_i < 1.01P each, out < 4.04P -> < 1.06P.  All mul inputs
-<= 2.06P < 3.9P.  Closed.
+Bound ledger (entry lanes < 5.2P in columns): entry norm+red5 -> < 1.001P;
+initial linear s = x+y+z < 3.01P, x+s < 4.01P -> finish -> < 1.001P.
+Internal round: c = x+rc < 2.01P -> u2 < 1.77P -> u4 < 1.60P -> u5 < 1.61P
+-> red1 on raw columns -> u5' < 1.012P; u = u5'+y+z < 3.02P;
+out_x = u+u5' < 4.04P; out_y = u+y < 4.03P; out_z = u+2z < 5.03P < 5.2896P;
+finish (norm + 5-threshold red) -> < 1.001P.  External round: s_i < 1.012P
+each, out < 4.06P -> < 1.001P.  All mul inputs <= 2.01P < 3.9P.  Closed.
 """
 
 from __future__ import annotations
@@ -80,6 +80,14 @@ for _k in range(4, 8):
         _cols.append(EXT_RC_MONT[_k, _lane, :, 0])
 RC_TABLE = np.zeros((NL, 128), np.uint32)
 RC_TABLE[:, : len(_cols)] = np.stack(_cols, axis=1)
+# extra columns: 80 = rate-2 sponge IV, 81..84 = Merkle keys 0..3 (Montgomery)
+IV2_COL = 80
+KEY0_COL = 81
+from .poseidon2_jnp import KEY_MONT, SPONGE2_IV_MONT  # noqa: E402
+
+RC_TABLE[:, IV2_COL] = SPONGE2_IV_MONT[:, 0]
+for _k in range(4):
+    RC_TABLE[:, KEY0_COL + _k] = KEY_MONT[_k][:, 0]
 
 
 def _limbs_np(x: int) -> np.ndarray:
@@ -91,8 +99,9 @@ _P_INT = bn254.P
 # P and its complement 2^256 - P (one masked multiple-add subtracts k*P).
 CONST_PLANES = np.stack([_limbs_np(_P_INT), _limbs_np((1 << 256) - _P_INT)])
 
-# top16(value) >= T[k]  =>  value >= (k+1) * P
-THRESHOLDS = tuple(((k * _P_INT) >> 240) + 1 for k in range(1, 5))
+# top16(value) >= T[k]  =>  value >= (k+1) * P;  five thresholds cover
+# values up to the 5.289P container ceiling with residual < 1.001P
+THRESHOLDS = tuple(((k * _P_INT) >> 240) + 1 for k in range(1, 6))
 assert THRESHOLDS[-1] <= MASK
 
 # ---------------------------------------------------------------------------
@@ -150,13 +159,19 @@ def _norm(x):
 
 
 def _red1(x, negp):
-    """Canonical x < 2P -> column form < 1.01P (single threshold)."""
+    """x < 2P -> column form < 1.011P (single threshold).
+
+    Sound on canonical inputs AND on positive unresolved CIOS columns
+    (no complement adds pending): there the top column under-reports the
+    true top16 by at most the pending lower-limb carry (< 0x81), so a fired
+    subtract is safe (top >= T1 implies value >= T1*2^240 > P) and a missed
+    one only loosens the residual bound by < 0x81 * 2^240 ~ 0.001P."""
     top = x[NL - 1 : NL]
     return x + negp * (top >= U32(THRESHOLDS[0])).astype(U32)
 
 
 def _red4(x, negp):
-    """Canonical x < 5.05P -> column form < 1.06P (four thresholds).
+    """Canonical x < 5.28P -> column form < 1.001P (five thresholds).
 
     Adds (2^256 - P) * (#thresholds passed); the dropped 2^256 wrap bits
     live above bit 15 of the top column and are masked off by _norm.
@@ -188,22 +203,25 @@ def _exact_canonical(x, p):
     return jnp.where(no_borrow == 1, diff, x)
 
 
-def _perm_body(rc, p, negp, x, y, z):
-    """Full unrolled 64-round permutation.  x, y, z: (NL, BT) limb planes in
-    Montgomery form, column-space values < 5.05P.  Returns exact canonical
-    (< P) Montgomery-form planes."""
+def _perm_core(rc, p, negp, x, y, z):
+    """Full unrolled 64-round permutation on loose values.  x, y, z:
+    (NL, BT) Montgomery limb planes, column-space values < 5.2P.  Returns
+    column forms < 1.001P (call _exact_canonical for strict < P output).
+    Chained invocations (sponges, tree levels) stay loose throughout."""
 
     def finish(cols):
-        # column value < 5.05P -> column form < 1.06P
+        # column value < 5.28P -> column form < 1.001P
         return _red4(_norm(cols), negp)
 
     def sbox(c_cols):
-        # c (columns, < 2.06P) -> x^5 in column form < 1.01P
+        # c (columns, < 2.07P) -> x^5 in column form < 1.012P.  The final
+        # reduction runs directly on u5's carry-save columns (positive, no
+        # complement adds — see _red1); consumers are adds, and the next
+        # mul's input normalize handles the carries.
         c = _norm(c_cols)
         u2 = _norm(_cios(c, c, p))
         u4 = _norm(_cios(u2, u2, p))
-        u5 = _norm(_cios(u4, c, p))
-        return _red1(u5, negp)
+        return _red1(_cios(u4, c, p), negp)
 
     # entry normalisation + reduction: anything < 5.05P -> < 1.06P
     x, y, z = finish(x), finish(y), finish(z)
@@ -231,11 +249,7 @@ def _perm_body(rc, p, negp, x, y, z):
     for k in range(4, 8):
         x, y, z = ext_round(x, y, z, 68 + 3 * (k - 4))
 
-    return (
-        _exact_canonical(x, p),
-        _exact_canonical(y, p),
-        _exact_canonical(z, p),
-    )
+    return x, y, z
 
 
 def _perm_kernel(rc_ref, cp_ref, state_ref, out_ref):
@@ -250,10 +264,75 @@ def _perm_kernel(rc_ref, cp_ref, state_ref, out_ref):
     x = state_ref[0:NL, :]
     y = state_ref[NL : 2 * NL, :]
     z = state_ref[2 * NL : 3 * NL, :]
-    x, y, z = _perm_body(rc, p, negp, x, y, z)
-    out_ref[0:NL, :] = x
-    out_ref[NL : 2 * NL, :] = y
-    out_ref[2 * NL : 3 * NL, :] = z
+    x, y, z = _perm_core(rc, p, negp, x, y, z)
+    out_ref[0:NL, :] = _exact_canonical(x, p)
+    out_ref[NL : 2 * NL, :] = _exact_canonical(y, p)
+    out_ref[2 * NL : 3 * NL, :] = _exact_canonical(z, p)
+
+
+def _sponge2_kernel(rc_ref, cp_ref, blocks_ref, out_ref):
+    """Fused rate-2 sponge: all absorb rounds chained in-kernel, state loose
+    between permutations (column forms < 1.001P; absorb adds keep entry
+    values < 2.01P, inside the 5.2P entry contract of _perm_core)."""
+    bt = blocks_ref.shape[1]
+    nb = blocks_ref.shape[0] // (2 * NL)
+
+    def rc(col):
+        return jnp.broadcast_to(rc_ref[:, col : col + 1], (NL, bt))
+
+    p = cp_ref[0:NL, :]
+    negp = cp_ref[NL : 2 * NL, :]
+    zero = jnp.zeros((NL, bt), U32)
+    iv = rc(IV2_COL)
+
+    def body(b, xyz):
+        x, y, z = xyz
+        blk = blocks_ref[pl.ds(pl.multiple_of(b * 2 * NL, 2 * NL), 2 * NL), :]
+        x = x + blk[0:NL]
+        y = y + blk[NL : 2 * NL]
+        return _perm_core(rc, p, negp, x, y, z)
+
+    x, _y, _z = jax.lax.fori_loop(0, nb, body, (zero, zero, iv))
+    out_ref[:] = _exact_canonical(x, p)
+
+
+# sponge tiles above this VMEM budget fall back to per-permutation calls
+_SPONGE_VMEM_BUDGET = 6 * 1024 * 1024
+
+
+def sponge2_fits(nblocks: int, batch_tile: int = 512) -> bool:
+    return 2 * nblocks * 2 * NL * batch_tile * 4 <= _SPONGE_VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+def sponge2_absorb(
+    blocks: jnp.ndarray, batch_tile: int = 512, interpret: bool = False
+) -> jnp.ndarray:
+    """Fused-kernel rate-2 sponge over pre-padded Montgomery blocks.
+
+    blocks: (nblocks, 2, NL, B); returns the squeezed first lane (NL, B),
+    exact canonical Montgomery.  Semantics identical to
+    ops.poseidon2_jnp.sponge2_absorb (poseidon2_sponge.circom:28-99).
+    """
+    nb, two, nl, b = blocks.shape
+    assert two == 2 and nl == NL
+    assert b % batch_tile == 0, (b, batch_tile)
+    flat = blocks.reshape(nb * 2 * NL, b)
+    cp = np.repeat(CONST_PLANES.reshape(2 * NL, 1), batch_tile, axis=1)
+    return pl.pallas_call(
+        _sponge2_kernel,
+        out_shape=jax.ShapeDtypeStruct((NL, b), jnp.uint32),
+        grid=(b // batch_tile,),
+        in_specs=[
+            pl.BlockSpec((NL, 128), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * NL, batch_tile), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (nb * 2 * NL, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec((NL, batch_tile), lambda i: (0, i), memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(jnp.asarray(RC_TABLE), jnp.asarray(cp), flat)
 
 
 @functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))

@@ -94,7 +94,7 @@ def test_cli_end_to_end(tmp_path):
         "--depth=16", "--maxslots=16", "--cellsize=64", "--blocksize=256",
         "--nslots=3", "--ncells=16", "--nsamples=3", "--seed=12345",
         "--entropy=1234567", "--index=1", "--backend=tpu", "--check",
-        f"--output={out}", f"--circom={circ}",
+        "--field=bn254", f"--output={out}", f"--circom={circ}",
     ])
     assert rc == 0
     pi = load_proof_input(out)

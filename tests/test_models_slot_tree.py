@@ -98,3 +98,33 @@ def test_odd_cell_size_encoding():
     # cell size not a multiple of 31 exercises the padding boundary
     cfg = _cfg(cell=62, block=248, ncells=8)
     assert build_slot_tree(cfg).root == calc_slot_tree(cfg).root
+
+
+def test_extract_paths_device_matches_host():
+    """Device batched path gather == scalar host extraction (SURVEY §2c
+    per-host partitioned sampled-witness batches)."""
+    import jax.numpy as jnp
+    from codex_storage_proofs_circuits_tpu.models import hashing as H
+    from codex_storage_proofs_circuits_tpu.models.slot_tree import (
+        build_slot_tree,
+        extract_cell_proof,
+    )
+    from codex_storage_proofs_circuits_tpu.models import data as D
+    from codex_storage_proofs_circuits_tpu.ops.encode import encode_cells
+    from codex_storage_proofs_circuits_tpu.ops import limbs as L
+
+    cfg = SlotConfig(
+        cell_size=64, block_size=256, n_cells=32, n_samples=4,
+        data_src=DataSource("fake", seed=21),
+    )
+    btd = cfg.cells_per_block.bit_length() - 1
+    felts = encode_cells(D.load_slot_cells(cfg))
+    layers = H.slot_tree_from_felts(jnp.asarray(felts), btd)
+    max_depth = 12
+    idxs = [0, 5, 17, 31]
+    paths = H.extract_paths_device(layers, jnp.asarray(idxs), max_depth)
+    tree = build_slot_tree(cfg)
+    for k, idx in enumerate(idxs):
+        want = extract_cell_proof(tree, idx).padded(max_depth).merkle_path
+        got = L.unpack(paths[:, :, k].T)
+        assert got == [int(v) for v in want], idx

@@ -69,6 +69,38 @@ def main() -> int:
         jax.device_get(out[0, 0, :1])
         dt = (time.perf_counter() - t0 - 0.027) / n
         print(f"bt={bt}: {dt*1e3:.3f} ms -> {B/dt/1e6:.3f}M perm/s", flush=True)
+
+    # ---- fused rate-2 sponge kernel: correctness + cells/s ----
+    from codex_storage_proofs_circuits_tpu.models import hashing as H
+    from codex_storage_proofs_circuits_tpu.ops import poseidon2_jnp as P2
+    from codex_storage_proofs_circuits_tpu.oracle import poseidon2 as OS
+
+    SB = 1 << 13
+    NF = 67  # felts of a 2048-byte cell
+    canon = rng.integers(0, 1 << 62, size=(NF, SB), dtype=np.int64)
+    felts = np.zeros((NF, L.NL, SB), np.uint32)
+    for l in range(4):  # values < 2^62: limbs 0..3 only
+        felts[:, l, :] = ((canon >> (16 * l)) & 0xFFFF).astype(np.uint32)
+    blocks = P2.pad_felts_rate2(H.to_mont_stack(jnp.asarray(felts)))
+    out = K.sponge2_absorb(blocks, batch_tile=512)
+    chk = jax.device_get(out[:, :4])
+    for b in range(4):
+        exp = OS.sponge2([int(canon[f, b]) for f in range(NF)])
+        got = sum(int(chk[l, b]) << (16 * l) for l in range(L.NL))
+        assert got == bn254.to_mont(exp), b
+    print("fused sponge bit-exact vs oracle on 4 cells", flush=True)
+    jax.device_get(K.sponge2_absorb(blocks)[0, :1])
+    t0 = time.perf_counter()
+    n = 10
+    for _ in range(n):
+        out = K.sponge2_absorb(blocks)
+    jax.device_get(out[0, :1])
+    dt = (time.perf_counter() - t0 - 0.027) / n
+    print(
+        f"sponge: {dt*1e3:.2f} ms -> {SB/dt:,.0f} cells/s"
+        f" = {SB*blocks.shape[0]/dt/1e6:.2f}M perm/s",
+        flush=True,
+    )
     return 0
 
 
