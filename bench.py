@@ -126,7 +126,15 @@ def _bench_slot_root(on_tpu: bool, small: bool) -> dict:
 
 def main() -> int:
     small = "--small" in sys.argv
+    import contextlib
+
     import jax
+
+    trace_ctx = contextlib.nullcontext()
+    if "--trace" in sys.argv:  # jax profiler trace for per-op analysis
+        trace_dir = os.path.join(os.path.dirname(__file__) or ".", "jax_trace")
+        trace_ctx = jax.profiler.trace(trace_dir)
+        print(f"# writing profiler trace to {trace_dir}", file=sys.stderr)
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
@@ -135,11 +143,12 @@ def main() -> int:
 
         jax.device_get(jnp.zeros((1,), jnp.uint32)[0])  # one-time tunnel init
 
-    comp = _bench_compress(on_tpu, small)
-    try:
-        slot = _bench_slot_root(on_tpu, small)
-    except Exception as e:  # secondary metric must not sink the headline
-        slot = {"error": f"{type(e).__name__}: {e}"}
+    with trace_ctx:
+        comp = _bench_compress(on_tpu, small)
+        try:
+            slot = _bench_slot_root(on_tpu, small)
+        except Exception as e:  # secondary metric must not sink the headline
+            slot = {"error": f"{type(e).__name__}: {e}"}
 
     per_sec = comp["compress_per_s"]
     out = {

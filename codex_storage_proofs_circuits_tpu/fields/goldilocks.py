@@ -144,3 +144,64 @@ MONOLITH_RC = _gen_monolith_constants()
 # MONOLITH_CIRC_ROW to adopt it.
 CONCRETE_USES_P2_EXTERNAL = True
 MONOLITH_CIRC_ROW: tuple[int, ...] = ()
+
+
+# ---------------------------------------------------------------------------
+# External constant override (the "pin the upstream instance" hook).
+#
+# The exact Poseidon2-GL / Monolith tables of the reference's pinned
+# `nim-goldilocks-hash` cannot be regenerated offline; this loader makes the
+# pin a pure data drop: point CSPC_GL_CONSTANTS at a JSON file (or place
+# `gl_instance.json` next to this module) and every table above is replaced
+# before any consumer module reads it.  `export_constants()` writes the
+# active tables in the same schema (64-bit values as decimal strings).
+
+import json as _json
+import os as _os
+
+CONSTANTS_SOURCE = "derived-grain-shake"
+
+
+def export_constants(path: str) -> None:
+    data = {
+        "poseidon2": {
+            "external_rc": [[str(v) for v in row] for row in P2GL_EXTERNAL_RC],
+            "internal_rc": [str(v) for v in P2GL_INTERNAL_RC],
+            "diag": [str(v) for v in P2GL_INTERNAL_DIAG],
+        },
+        "monolith": {"rc": [[str(v) for v in row] for row in MONOLITH_RC]},
+    }
+    with open(path, "w") as f:
+        _json.dump(data, f, indent=1)
+
+
+def _maybe_load_external() -> None:
+    global P2GL_EXTERNAL_RC, P2GL_INTERNAL_RC, P2GL_INTERNAL_DIAG
+    global MONOLITH_RC, CONSTANTS_SOURCE
+    path = _os.environ.get("CSPC_GL_CONSTANTS") or _os.path.join(
+        _os.path.dirname(__file__), "gl_instance.json"
+    )
+    if not _os.path.exists(path):
+        return
+    with open(path) as f:
+        data = _json.load(f)
+    p2 = data.get("poseidon2", {})
+    if p2:
+        ext = [[int(v) for v in row] for row in p2["external_rc"]]
+        intr = [int(v) for v in p2["internal_rc"]]
+        diag = [int(v) for v in p2["diag"]]
+        assert len(ext) == RF and all(len(r) == T for r in ext)
+        assert len(intr) == RP and len(diag) == T
+        assert all(0 <= v < P_GL for r in ext for v in r)
+        assert all(0 <= v < P_GL for v in intr + diag)
+        P2GL_EXTERNAL_RC, P2GL_INTERNAL_RC, P2GL_INTERNAL_DIAG = ext, intr, diag
+    mono = data.get("monolith", {})
+    if mono:
+        rc = [[int(v) for v in row] for row in mono["rc"]]
+        assert len(rc) == MONOLITH_ROUNDS and all(len(r) == T for r in rc)
+        assert all(0 <= v < P_GL for r in rc for v in r)
+        MONOLITH_RC = rc
+    CONSTANTS_SOURCE = f"external:{path}"
+
+
+_maybe_load_external()

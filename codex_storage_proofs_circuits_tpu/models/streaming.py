@@ -176,12 +176,25 @@ def streaming_slot_layers(
         if stop_after_chunks is not None and new_chunks >= stop_after_chunks:
             return None
         t0 = time.perf_counter()
-        idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
-        cells = D.load_cells(cfg, idx)
-        t1 = time.perf_counter()
-        felts = encode_cells(cells)
-        t2 = time.perf_counter()
-        layers = _chunk_layers_jit(jnp.asarray(felts), btd, chunk_depth + 1)
+        if cfg.data_src.kind == "fake":
+            # fully on-device: PRNG + padding + encode never touch the host
+            # (host->device transfer is the dominant cost on tunneled hosts)
+            from ..ops.fake_prng import gen_fake_cells_device
+            from ..ops.encode import encode_cells_device
+
+            cells_dev = gen_fake_cells_device(
+                cfg.cell_size, cfg.data_src.seed, c * chunk_cells, chunk_cells
+            )
+            t1 = time.perf_counter()
+            felts = encode_cells_device(cells_dev)
+            t2 = time.perf_counter()
+        else:
+            idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
+            cells = D.load_cells(cfg, idx)
+            t1 = time.perf_counter()
+            felts = jnp.asarray(encode_cells(cells))
+            t2 = time.perf_counter()
+        layers = _chunk_layers_jit(felts, btd, chunk_depth + 1)
         for d, lyr in enumerate(layers):
             segments[d].append(lyr)
         t3 = time.perf_counter()

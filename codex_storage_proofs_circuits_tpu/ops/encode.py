@@ -53,6 +53,25 @@ def bytes_to_felt_limbs(data: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(limbs15, (1, 2, 0))
 
 
+def pad_bytes_device(data: jnp.ndarray) -> jnp.ndarray:
+    """Device twin of pad_bytes_np: append the 0x01 marker byte + zero fill."""
+    b, nbytes = data.shape
+    total = n_chunks(nbytes) * CHUNK_BYTES
+    marker = jnp.concatenate(
+        [
+            jnp.full((b, 1), 1, jnp.uint8),
+            jnp.zeros((b, total - nbytes - 1), jnp.uint8),
+        ],
+        axis=1,
+    )
+    return jnp.concatenate([data, marker], axis=1)
+
+
+def encode_cells_device(data: jnp.ndarray) -> jnp.ndarray:
+    """Fully on-device encode: (B, cell_size) uint8 -> (nfelts, NL, B)."""
+    return bytes_to_felt_limbs(pad_bytes_device(data))
+
+
 def encode_cells(data: jnp.ndarray) -> jnp.ndarray:
     """(B, cell_size) raw cell bytes -> (nfelts, NL, B) canonical felts.
 

@@ -193,13 +193,14 @@ def _external_linear(s: list[jnp.ndarray]) -> list[jnp.ndarray]:
     return out
 
 
-_DIAG_M1 = None  # lazily packed (12, 4, 1) constant planes
+_DIAG_M1 = None  # lazily packed (12, 4, 1) numpy constant planes (numpy, not
+# jnp: device arrays created inside a trace leak tracers through the cache)
 
 
 def _diag_consts():
     global _DIAG_M1
     if _DIAG_M1 is None:
-        _DIAG_M1 = [jnp.asarray(_const((d - 1) % P)) for d in G.P2GL_INTERNAL_DIAG]
+        _DIAG_M1 = [_const((d - 1) % P) for d in G.P2GL_INTERNAL_DIAG]
     return _DIAG_M1
 
 
@@ -217,33 +218,33 @@ def _sbox7(x: jnp.ndarray) -> jnp.ndarray:
     return gl_mul(gl_mul(x4, x2), x)
 
 
-_EXT_RC = None
-_INT_RC = None
-
-
-def _rc_consts():
-    global _EXT_RC, _INT_RC
-    if _EXT_RC is None:
-        _EXT_RC = [[jnp.asarray(_const(c)) for c in row] for row in G.P2GL_EXTERNAL_RC]
-        _INT_RC = [jnp.asarray(_const(c)) for c in G.P2GL_INTERNAL_RC]
-    return _EXT_RC, _INT_RC
-
-
 def poseidon2_gl_permutation(state: jnp.ndarray) -> jnp.ndarray:
-    """(12, 4, B) canonical states -> permuted states."""
-    ext_rc, int_rc = _rc_consts()
-    s = [state[i] for i in range(T)]
-    s = _external_linear(s)
-    for r in range(G.RF // 2):
-        s = [_sbox7(gl_add(v, c)) for v, c in zip(s, ext_rc[r])]
-        s = _external_linear(s)
-    for r in range(G.RP):
-        s = [_sbox7(gl_add(s[0], int_rc[r]))] + s[1:]
-        s = _internal_linear(s)
-    for r in range(G.RF // 2, G.RF):
-        s = [_sbox7(gl_add(v, c)) for v, c in zip(s, ext_rc[r])]
-        s = _external_linear(s)
-    return jnp.stack(s)
+    """(12, 4, B) canonical states -> permuted states.
+
+    Rounds run under lax.scan so the traced graph stays one round wide —
+    XLA:CPU compile of the unrolled 30-round chain is pathologically slow
+    (same trap as the BN254 jnp path, ops/poseidon2_jnp.py:9-11).
+    """
+    import jax
+
+    ext_rc = jnp.asarray(
+        np.stack([[_const(c) for c in row] for row in G.P2GL_EXTERNAL_RC])
+    )  # (RF, T, NL, 1)
+    int_rc = jnp.asarray(np.stack([_const(c) for c in G.P2GL_INTERNAL_RC]))
+
+    def ext_body(s, rc):
+        lst = [_sbox7(gl_add(s[i], rc[i])) for i in range(T)]
+        return jnp.stack(_external_linear(lst)), None
+
+    def int_body(s, rc):
+        lst = [_sbox7(gl_add(s[0], rc))] + [s[i] for i in range(1, T)]
+        return jnp.stack(_internal_linear(lst)), None
+
+    s = jnp.stack(_external_linear([state[i] for i in range(T)]))
+    s, _ = jax.lax.scan(ext_body, s, ext_rc[: G.RF // 2])
+    s, _ = jax.lax.scan(int_body, s, int_rc)
+    s, _ = jax.lax.scan(ext_body, s, ext_rc[G.RF // 2 :])
+    return s
 
 
 # ---------------------------------------------------------------------------
@@ -276,26 +277,23 @@ def _bricks(s: list[jnp.ndarray]) -> list[jnp.ndarray]:
     return [s[0]] + [gl_add(s[i], gl_mul(s[i - 1], s[i - 1])) for i in range(1, T)]
 
 
-_MONO_RC = None
-
-
-def _mono_consts():
-    global _MONO_RC
-    if _MONO_RC is None:
-        _MONO_RC = [[jnp.asarray(_const(c)) for c in row] for row in G.MONOLITH_RC]
-    return _MONO_RC
-
-
 def monolith_permutation(state: jnp.ndarray) -> jnp.ndarray:
-    rc = _mono_consts()
-    s = [state[i] for i in range(T)]
-    s = _external_linear(s)  # initial Concrete
-    for r in range(G.MONOLITH_ROUNDS):
-        s = _bars(s)
-        s = _bricks(s)
-        s = _external_linear(s)
-        s = [gl_add(v, c) for v, c in zip(s, rc[r])]
-    return jnp.stack(s)
+    """Rounds under lax.scan (see poseidon2_gl_permutation note)."""
+    import jax
+
+    rc = jnp.asarray(np.stack([[_const(c) for c in row] for row in G.MONOLITH_RC]))
+
+    def body(s, rc_r):
+        lst = [s[i] for i in range(T)]
+        lst = _bars(lst)
+        lst = _bricks(lst)
+        lst = _external_linear(lst)
+        lst = [gl_add(v, rc_r[i]) for i, v in enumerate(lst)]
+        return jnp.stack(lst), None
+
+    s = jnp.stack(_external_linear([state[i] for i in range(T)]))  # initial Concrete
+    s, _ = jax.lax.scan(body, s, rc)
+    return s
 
 
 PERMUTATIONS = {
@@ -332,7 +330,7 @@ def sponge_digest_felts(hash_fun: str, felts: jnp.ndarray) -> jnp.ndarray:
     if SPONGE_IV is None:
         from ..oracle.goldilocks import SPONGE_IV_GL
 
-        SPONGE_IV = jnp.asarray(_const(SPONGE_IV_GL))
+        SPONGE_IV = _const(SPONGE_IV_GL)  # numpy: safe to cache across traces
     n, _, b = felts.shape
     perm = PERMUTATIONS[hash_fun]
     total = n + 1

@@ -67,9 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="JSON file into which we write the proof input")
     p.add_argument("-C", "--circom", type=str, default=None,
                    help="circom main component to create with these parameters")
-    p.add_argument("-F", "--field", type=str, default="bn254",
+    p.add_argument("-F", "--field", type=str, default="goldilocks",
                    choices=["bn254", "goldilocks"],
-                   help="the underlying field")
+                   help="the underlying field (default matches the reference "
+                        "cli.nim:47-51: goldilocks)")
     p.add_argument("-H", "--hash", type=str, default="poseidon2",
                    choices=["poseidon2", "monolith"],
                    help="the hash function to use")
@@ -156,9 +157,25 @@ def main(argv=None) -> int:
                 generate_proof_input_gl,
             )
 
-            pi = generate_proof_input_gl(
-                args.hash, glob, dset, args.index, int_to_digest(args.entropy)
-            )
+            backend = args.backend
+            if backend == "auto":
+                backend = "tpu" if dset.n_slots * dset.n_cells >= 1 << 14 else "oracle"
+                if args.verbose:
+                    print(f"auto backend -> {backend}")
+            if backend == "tpu":
+                from ..models.gl_proof_input import generate_proof_input_gl_tpu
+
+                pi = generate_proof_input_gl_tpu(
+                    args.hash, glob, dset, args.index, int_to_digest(args.entropy)
+                )
+            elif backend == "oracle":
+                pi = generate_proof_input_gl(
+                    args.hash, glob, dset, args.index, int_to_digest(args.entropy)
+                )
+            else:
+                raise SystemExit(
+                    f"backend `{backend}` is not available for goldilocks"
+                )
             export_proof_input_gl(args.output, pi)
             if args.verbose:
                 print(f"generated in {time.time() - t0:.3f}s")
