@@ -25,7 +25,27 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_tpu_comp")
+def _machine_cache_dir(base: str) -> str:
+    """Cache dir keyed by host CPU — a cache written on a different machine
+    poisons XLA:CPU AOT loads (feature-mismatch errors)."""
+    import hashlib
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag += hashlib.sha256(line.encode()).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
+    return f"{base}_{tag}"
+
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", _machine_cache_dir("/root/.cache/jax_tpu_comp")
+)
 
 import numpy as np
 

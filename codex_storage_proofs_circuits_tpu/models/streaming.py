@@ -130,6 +130,22 @@ def _chunk_layers_jit(felts, block_tree_depth: int, n_chunk_layers: int):
     return H.slot_tree_from_felts(felts, block_tree_depth)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cell_size", "block_tree_depth")
+)
+def _fused_fake_chunk(seed1_planes, seed2_planes, cell_size, block_tree_depth):
+    """One device dispatch for a whole fake-data chunk: PRNG -> byte pad ->
+    felt encode -> rate-2 sponge -> subtree reduce.  The tunneled PJRT
+    backend pays tens of ms per dispatch; the per-chunk loop used to issue
+    three (PRNG, encode, tree), which dominated wall-clock at 256 MB scale."""
+    from ..ops.encode import encode_cells_device
+    from ..ops.fake_prng import _gen_scan
+
+    rows = _gen_scan(seed1_planes, seed2_planes, cell_size)  # (cell, B) u8
+    felts = encode_cells_device(rows.T)
+    return H.slot_tree_from_felts(felts, block_tree_depth)
+
+
 def streaming_slot_layers(
     cfg: SlotConfig,
     chunk_cells: int = 1 << 13,
@@ -177,24 +193,23 @@ def streaming_slot_layers(
             return None
         t0 = time.perf_counter()
         if cfg.data_src.kind == "fake":
-            # fully on-device: PRNG + padding + encode never touch the host
-            # (host->device transfer is the dominant cost on tunneled hosts)
-            from ..ops.fake_prng import gen_fake_cells_device
-            from ..ops.encode import encode_cells_device
+            # fully on-device AND fully fused: PRNG + padding + encode +
+            # sponge + subtree reduce in ONE dispatch (no host transfers,
+            # one tunnel round-trip per chunk)
+            from ..ops.fake_prng import fake_seed_planes
 
-            cells_dev = gen_fake_cells_device(
-                cfg.cell_size, cfg.data_src.seed, c * chunk_cells, chunk_cells
+            s1, s2 = fake_seed_planes(
+                cfg.data_src.seed, c * chunk_cells, chunk_cells
             )
-            t1 = time.perf_counter()
-            felts = encode_cells_device(cells_dev)
-            t2 = time.perf_counter()
+            t1 = t2 = time.perf_counter()
+            layers = _fused_fake_chunk(s1, s2, cfg.cell_size, btd)
         else:
             idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
             cells = D.load_cells(cfg, idx)
             t1 = time.perf_counter()
             felts = jnp.asarray(encode_cells(cells))
             t2 = time.perf_counter()
-        layers = _chunk_layers_jit(felts, btd, chunk_depth + 1)
+            layers = _chunk_layers_jit(felts, btd, chunk_depth + 1)
         for d, lyr in enumerate(layers):
             segments[d].append(lyr)
         t3 = time.perf_counter()

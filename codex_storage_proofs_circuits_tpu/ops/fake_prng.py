@@ -158,8 +158,9 @@ def _gen_scan(seed1_planes, seed2_planes, n_steps: int):
     return bytes_rows  # (n_steps, B) uint8
 
 
-def gen_fake_cells_device(cell_size: int, seed: int, start_idx: int, n: int):
-    """(n, cell_size) uint8 fake cells on device, == oracle slot.gen_fake_cell."""
+def fake_seed_planes(seed: int, start_idx: int, n: int):
+    """Host-side derivation of the per-cell seed limb planes: (s1, s2),
+    each (4, n) uint32, matching oracle slot.gen_fake_cell's seed1/seed2."""
     seed1 = (seed + 0xDEADCAFE) & 0xFFFFFFFFFFFFFFFF
     idx = np.arange(start_idx, start_idx + n, dtype=np.uint64)
     with np.errstate(over="ignore"):
@@ -168,5 +169,11 @@ def gen_fake_cells_device(cell_size: int, seed: int, start_idx: int, n: int):
     s2p = np.zeros((4, n), np.uint32)
     for i in range(4):
         s2p[i] = ((seed2 >> np.uint64(16 * i)) & np.uint64(MASK)).astype(np.uint32)
-    rows = _gen_scan(s1, jnp.asarray(s2p), cell_size)
+    return s1, jnp.asarray(s2p)
+
+
+def gen_fake_cells_device(cell_size: int, seed: int, start_idx: int, n: int):
+    """(n, cell_size) uint8 fake cells on device, == oracle slot.gen_fake_cell."""
+    s1, s2 = fake_seed_planes(seed, start_idx, n)
+    rows = _gen_scan(s1, s2, cell_size)
     return rows.T  # (n, cell_size)

@@ -35,8 +35,30 @@ def pytest_configure(config):
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 
+def _machine_cache_dir(base: str) -> str:
+    """Compilation-cache dir keyed by the host CPU: XLA:CPU AOT cache entries
+    embed target machine features, and loading an entry compiled on a
+    different machine fails with feature-mismatch errors (observed when the
+    cache directory outlives the VM it was written on)."""
+    import hashlib
+    import platform
+
+    tag = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    tag += hashlib.sha256(line.encode()).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
+    return f"{base}_{tag}"
+
+
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", _machine_cache_dir("/root/.cache/jax_comp")
+)
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
