@@ -25,32 +25,19 @@ import os
 import sys
 import time
 
-def _machine_cache_dir(base: str) -> str:
-    """Cache dir keyed by host CPU — a cache written on a different machine
-    poisons XLA:CPU AOT loads (feature-mismatch errors)."""
-    import hashlib
-    import platform
-
-    tag = platform.machine()
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    tag += hashlib.sha256(line.encode()).hexdigest()[:12]
-                    break
-    except OSError:
-        pass
-    return f"{base}_{tag}"
-
+from codex_storage_proofs_circuits_tpu.utils.cache import (
+    machine_cache_dir,
+    measure_sync_overhead,
+)
 
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", _machine_cache_dir("/root/.cache/jax_tpu_comp")
+    "JAX_COMPILATION_CACHE_DIR", machine_cache_dir("/root/.cache/jax_tpu_comp")
 )
 
 import numpy as np
 
 TARGET_PER_CHIP = 10_000_000.0  # BASELINE.json north star
-_SYNC_OVERHEAD = 0.027  # warm tunneled device_get round-trip (measured)
+_SYNC_OVERHEAD = None  # measured at startup (warm device_get round trip)
 
 
 def _bench_compress(on_tpu: bool, small: bool) -> dict:
@@ -158,10 +145,8 @@ def main() -> int:
 
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
-    if on_tpu:
-        import jax.numpy as jnp
-
-        jax.device_get(jnp.zeros((1,), jnp.uint32)[0])  # one-time tunnel init
+    global _SYNC_OVERHEAD
+    _SYNC_OVERHEAD = measure_sync_overhead()  # also warms the tunnel
 
     with trace_ctx:
         comp = _bench_compress(on_tpu, small)

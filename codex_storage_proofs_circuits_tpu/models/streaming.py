@@ -17,6 +17,7 @@ the next chunk overlaps the in-flight computation).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os

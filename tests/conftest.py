@@ -35,29 +35,18 @@ def pytest_configure(config):
     os.execve(sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env)
 
 
-def _machine_cache_dir(base: str) -> str:
-    """Compilation-cache dir keyed by the host CPU: XLA:CPU AOT cache entries
-    embed target machine features, and loading an entry compiled on a
-    different machine fails with feature-mismatch errors (observed when the
-    cache directory outlives the VM it was written on)."""
-    import hashlib
-    import platform
+import pathlib as _pathlib
+import sys as _sys
 
-    tag = platform.machine()
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.startswith("flags"):
-                    tag += hashlib.sha256(line.encode()).hexdigest()[:12]
-                    break
-    except OSError:
-        pass
-    return f"{base}_{tag}"
+_REPO_ROOT = _pathlib.Path(__file__).resolve().parent.parent
+if str(_REPO_ROOT) not in _sys.path:
+    _sys.path.insert(0, str(_REPO_ROOT))
 
+from codex_storage_proofs_circuits_tpu.utils.cache import machine_cache_dir
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault(
-    "JAX_COMPILATION_CACHE_DIR", _machine_cache_dir("/root/.cache/jax_comp")
+    "JAX_COMPILATION_CACHE_DIR", machine_cache_dir("/root/.cache/jax_comp")
 )
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:

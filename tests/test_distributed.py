@@ -29,7 +29,11 @@ def test_two_process_dataset_root():
     env = dict(os.environ)
     env["PYTHONPATH"] = ""  # drop any PJRT-plugin sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    # XLA:CPU compile of the 2-process SPMD program takes ~5 min at the
+    # default opt level (~2.5 min at 0) the first time; the persistent
+    # compile cache (inherited JAX_COMPILATION_CACHE_DIR from conftest)
+    # makes reruns fast.
+    env["XLA_FLAGS"] = "--xla_backend_optimization_level=0"
     procs = [
         subprocess.Popen(
             [sys.executable, str(WORKER), str(pid), "2", str(port)],

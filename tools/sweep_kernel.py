@@ -2,7 +2,14 @@
 import os, sys, time, pathlib
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
-from bench import _machine_cache_dir  # sets JAX_COMPILATION_CACHE_DIR on import
+from codex_storage_proofs_circuits_tpu.utils.cache import (
+    machine_cache_dir,
+    measure_sync_overhead,
+)
+
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR", machine_cache_dir("/root/.cache/jax_tpu_comp")
+)
 
 import numpy as np
 import jax, jax.numpy as jnp
@@ -13,7 +20,8 @@ from codex_storage_proofs_circuits_tpu.ops import poseidon2_pallas as P2K
 BATCH = 1 << 17
 ITERS = 16
 print("backend:", jax.default_backend(), flush=True)
-jax.device_get(jnp.zeros((1,), jnp.uint32)[0])
+SYNC = measure_sync_overhead()
+print(f"sync overhead: {SYNC*1e3:.1f} ms", flush=True)
 
 rng = np.random.default_rng(0)
 states = rng.integers(0, 1 << 16, size=(3, L.NL, BATCH), dtype=np.uint32)
@@ -33,7 +41,7 @@ for tile in (256, 512, 1024, 2048, 4096):
             for _ in range(ITERS):
                 y = perm(y)
             jax.device_get(y[0, 0, :1])
-            best = min(best, (time.perf_counter() - t0 - 0.027) / ITERS)
+            best = min(best, (time.perf_counter() - t0 - SYNC) / ITERS)
         print(f"tile {tile:5d}: {BATCH/best/1e6:7.2f} M perm/s  (compile {compile_s:.0f}s)", flush=True)
     except Exception as e:
         print(f"tile {tile:5d}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)

@@ -46,7 +46,11 @@ def main() -> int:
         pk = np.asarray(L.pack([bn254.to_mont(v) for v in vals[lane]]))
         arr[lane, :, :nchk] = pk
     state = jnp.asarray(arr)
-    jax.device_get(state[0, 0, 0])  # tunnel warmup
+    from codex_storage_proofs_circuits_tpu.utils.cache import measure_sync_overhead
+
+    global SYNC
+    SYNC = measure_sync_overhead()  # also warms the tunnel
+    print(f"sync overhead: {SYNC*1e3:.1f} ms", flush=True)
 
     t0 = time.time()
     out = K.permutation(state, batch_tile=512)
@@ -67,7 +71,7 @@ def main() -> int:
         for _ in range(n):
             out = K.permutation(state, batch_tile=bt)
         jax.device_get(out[0, 0, :1])
-        dt = (time.perf_counter() - t0 - 0.027) / n
+        dt = (time.perf_counter() - t0 - SYNC) / n
         print(f"bt={bt}: {dt*1e3:.3f} ms -> {B/dt/1e6:.3f}M perm/s", flush=True)
 
     # ---- fused rate-2 sponge kernel: correctness + cells/s ----
@@ -95,7 +99,7 @@ def main() -> int:
     for _ in range(n):
         out = K.sponge2_absorb(blocks)
     jax.device_get(out[0, :1])
-    dt = (time.perf_counter() - t0 - 0.027) / n
+    dt = (time.perf_counter() - t0 - SYNC) / n
     print(
         f"sponge: {dt*1e3:.2f} ms -> {SB/dt:,.0f} cells/s"
         f" = {SB*blocks.shape[0]/dt/1e6:.2f}M perm/s",
