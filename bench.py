@@ -78,6 +78,42 @@ def _bench_compress(on_tpu: bool, small: bool) -> dict:
     return {"compress_per_s": batch / dt, "batch": batch, "iters": iters}
 
 
+def _bench_gl_compress(on_tpu: bool, small: bool) -> dict:
+    """Goldilocks Poseidon2 t=12 compress/s (the reference's DEFAULT field,
+    cli.nim:47-51).  One permutation = one keyed 2-digest compression."""
+    import jax
+    import jax.numpy as jnp
+
+    from codex_storage_proofs_circuits_tpu.ops import goldilocks_pallas as GP
+    from codex_storage_proofs_circuits_tpu.ops import goldilocks_jnp as GJ
+
+    batch = 1 << 16 if on_tpu else 1 << 9
+    iters = 16 if on_tpu else 2
+    rng = np.random.default_rng(0)
+    state = rng.integers(0, 1 << 16, size=(12, 4, batch), dtype=np.uint32)
+    state[:, 3, :] &= 0x7FFF  # < p
+    x = jnp.asarray(state)
+    if on_tpu:
+        perm = lambda s: GP.permutation(s, batch_tile=GP.DEFAULT_TILE)
+    else:
+        perm = jax.jit(GJ.poseidon2_gl_permutation)
+    jax.device_get(perm(x)[0, 0, :1])
+
+    def run_once():
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(iters):
+            y = perm(y)
+        jax.device_get(y[0, 0, :1])
+        dt = time.perf_counter() - t0
+        if on_tpu:
+            dt = max(dt - _SYNC_OVERHEAD, 1e-9)
+        return dt / iters
+
+    dt = min(run_once() for _ in range(3))
+    return {"gl_compress_per_s": batch / dt, "batch": batch, "iters": iters}
+
+
 def _bench_slot_root(on_tpu: bool, small: bool) -> dict:
     """Slot-root build wall-clock (BASELINE.json second headline metric).
 
@@ -151,8 +187,12 @@ def main() -> int:
     with trace_ctx:
         comp = _bench_compress(on_tpu, small)
         try:
-            slot = _bench_slot_root(on_tpu, small)
+            glc = _bench_gl_compress(on_tpu, small)
         except Exception as e:  # secondary metric must not sink the headline
+            glc = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            slot = _bench_slot_root(on_tpu, small)
+        except Exception as e:
             slot = {"error": f"{type(e).__name__}: {e}"}
 
     per_sec = comp["compress_per_s"]
@@ -164,12 +204,18 @@ def main() -> int:
         "extra": {
             "slot_root_wall_s": round(slot.get("slot_root_wall_s", -1.0), 3),
             "slot_mb": round(slot.get("slot_bytes", 0) / 1e6, 1),
+            "gl_compress_per_s": round(glc.get("gl_compress_per_s", -1.0), 1),
         },
     }
     print(json.dumps(out))
 
     # full metric set for the record (SURVEY.md section 5 observability)
-    metrics = {"backend": backend, "compress": comp, "slot_root": slot}
+    metrics = {
+        "backend": backend,
+        "compress": comp,
+        "gl_compress": glc,
+        "slot_root": slot,
+    }
     try:
         with open(os.path.join(os.path.dirname(__file__), "bench_metrics.json"), "w") as f:
             json.dump(metrics, f, indent=2)
@@ -178,6 +224,7 @@ def main() -> int:
             baseline = json.load(f)
         baseline.setdefault("published", {})[backend] = {
             "poseidon2_compress_per_s_per_chip": round(per_sec, 1),
+            "gl_compress_per_s_per_chip": glc.get("gl_compress_per_s"),
             "slot_root_wall_s": slot.get("slot_root_wall_s"),
             "slot_bytes": slot.get("slot_bytes"),
         }

@@ -21,10 +21,54 @@ from ..oracle.slot import SlotConfig, SlotTree
 from ..oracle.merkle import MerkleTree
 from ..oracle.goldilocks import CHUNK_BYTES_GL
 from ..ops import goldilocks_jnp as GJ
+from ..ops import goldilocks_pallas as GP
 from . import data as D
 
 NL = GJ.NL  # 4 x 16-bit limbs per felt
 FELTS_PER_DIGEST = 4
+
+# Batches at/above this route through the fused Pallas kernel on TPU,
+# padded up to a tile multiple (pad lanes hash garbage that is sliced off).
+_PALLAS_MIN_BATCH = GP.DEFAULT_TILE
+
+
+def _use_pallas(hash_fun: str, b: int) -> bool:
+    return (
+        hash_fun == "poseidon2"
+        and b >= _PALLAS_MIN_BATCH
+        and jax.default_backend() == "tpu"
+    )
+
+
+def _pad_lanes(arr: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
+    b = arr.shape[-1]
+    pad = (-b) % mult
+    if pad:
+        arr = jnp.concatenate(
+            [arr, jnp.zeros(arr.shape[:-1] + (pad,), arr.dtype)], axis=-1
+        )
+    return arr, b
+
+
+def sponge_digests(hash_fun: str, felts: jnp.ndarray) -> jnp.ndarray:
+    """(n, 4, B) felts -> (4, 4, B) digests via the best available path."""
+    b = felts.shape[-1]
+    if _use_pallas(hash_fun, b):
+        padded, b0 = _pad_lanes(felts, GP.DEFAULT_TILE)
+        return GP.sponge_digest_felts(padded)[:, :, :b0]
+    return GJ.sponge_digest_felts(hash_fun, felts)
+
+
+def compress_digests(
+    hash_fun: str, key: int, x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Keyed digest compression via the best available path."""
+    b = x.shape[-1]
+    if _use_pallas(hash_fun, b):
+        xp, b0 = _pad_lanes(x, GP.DEFAULT_TILE)
+        yp, _ = _pad_lanes(y, GP.DEFAULT_TILE)
+        return GP.compress(xp, yp, key)[:, :, :b0]
+    return GJ.compress_batch(hash_fun, key, x, y)
 
 
 def encode_cells_gl(cells_u8: np.ndarray) -> jnp.ndarray:
@@ -74,7 +118,7 @@ def encode_cells_gl(cells_u8: np.ndarray) -> jnp.ndarray:
 
 def _compress_layer(hash_fun: str, cur: jnp.ndarray, key: int) -> jnp.ndarray:
     """(4, 4, W) digest layer -> (4, 4, W/2) via batched keyed compression."""
-    return GJ.compress_batch(hash_fun, key, cur[:, :, 0::2], cur[:, :, 1::2])
+    return compress_digests(hash_fun, key, cur[:, :, 0::2], cur[:, :, 1::2])
 
 
 @functools.partial(jax.jit, static_argnames=("hash_fun", "block_tree_depth", "n_groups"))
@@ -88,7 +132,7 @@ def slot_tree_from_felts_gl(
     and at block_tree_depth; merkle/goldilocks/*.nim:14-63).  `n_groups`
     same-shaped slots may be batched side-by-side on the lane axis.
     """
-    hashes = GJ.sponge_digest_felts(hash_fun, cells_felts)  # (4, 4, B)
+    hashes = sponge_digests(hash_fun, cells_felts)  # (4, 4, B)
     layers = [hashes]
     d = 0
     while layers[-1].shape[2] > n_groups:

@@ -32,14 +32,30 @@ def _use_pallas() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _pad_lanes(arr: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
+    """Pad the trailing (batch) axis up to a multiple of `mult` with zeros
+    (valid field elements that hash to garbage and are sliced off)."""
+    b = arr.shape[-1]
+    pad = (-b) % mult
+    if pad:
+        arr = jnp.concatenate(
+            [arr, jnp.zeros(arr.shape[:-1] + (pad,), arr.dtype)], axis=-1
+        )
+    return arr, b
+
+
 def permute(state: jnp.ndarray) -> jnp.ndarray:
     """(3, NL, B) Montgomery batch -> permuted, via the best available path.
 
-    B is static under jit, so dispatch resolves at trace time.
+    B is static under jit, so dispatch resolves at trace time.  Batches of
+    at least the tile width route through the fused Pallas kernel, padded
+    up to a tile multiple (round-1 review: the kernel was only used for
+    exact multiples, so the product path never hit it).
     """
     b = state.shape[2]
-    if _use_pallas() and b % _PALLAS_MIN_BATCH == 0:
-        return P2K.permutation(state, batch_tile=_PALLAS_MIN_BATCH)
+    if _use_pallas() and b >= _PALLAS_MIN_BATCH:
+        padded, b0 = _pad_lanes(state, _PALLAS_MIN_BATCH)
+        return P2K.permutation(padded, batch_tile=_PALLAS_MIN_BATCH)[:, :, :b0]
     return P2.permutation(state)
 
 
@@ -59,8 +75,9 @@ def sponge2_scan(blocks: jnp.ndarray) -> jnp.ndarray:
     """
     nb, two, nl, b = blocks.shape
     assert two == 2 and nl == NL
-    if _use_pallas() and b % _PALLAS_MIN_BATCH == 0 and P2K.sponge2_fits(nb):
-        return P2K.sponge2_absorb(blocks, batch_tile=_PALLAS_MIN_BATCH)
+    if _use_pallas() and b >= _PALLAS_MIN_BATCH and P2K.sponge2_fits(nb):
+        padded, b0 = _pad_lanes(blocks, _PALLAS_MIN_BATCH)
+        return P2K.sponge2_absorb(padded, batch_tile=_PALLAS_MIN_BATCH)[:, :b0]
     iv = jnp.broadcast_to(jnp.asarray(P2.SPONGE2_IV_MONT), (NL, b)).astype(jnp.uint32)
     zero = jnp.zeros((NL, b), jnp.uint32)
     state = jnp.stack([zero, zero, iv])

@@ -218,33 +218,56 @@ def _sbox7(x: jnp.ndarray) -> jnp.ndarray:
     return gl_mul(gl_mul(x4, x2), x)
 
 
+def _rc_planes(vals) -> np.ndarray:
+    """List of T ints -> (NL, T, 1) broadcastable limb planes."""
+    arr = np.zeros((NL, len(vals), 1), np.uint32)
+    for lane, v in enumerate(vals):
+        for k in range(NL):
+            arr[k, lane, 0] = (v >> (LB * k)) & MASK
+    return arr
+
+
+_P2_EXT_RC = np.stack([_rc_planes(row) for row in G.P2GL_EXTERNAL_RC])  # (RF,NL,T,1)
+_P2_INT_RC = np.stack(
+    [_rc_planes([c]) for c in G.P2GL_INTERNAL_RC]
+)  # (RP, NL, 1, 1)
+_P2_DIAG = _rc_planes([(d - 1) % P for d in G.P2GL_INTERNAL_DIAG])  # (NL, T, 1)
+
+
 def poseidon2_gl_permutation(state: jnp.ndarray) -> jnp.ndarray:
     """(12, 4, B) canonical states -> permuted states.
 
-    Rounds run under lax.scan so the traced graph stays one round wide —
-    XLA:CPU compile of the unrolled 30-round chain is pathologically slow
-    (same trap as the BN254 jnp path, ops/poseidon2_jnp.py:9-11).
+    Vectorized on whole-state limb planes (ops/gl_core.py) with the rounds
+    under lax.scan: the traced graph is 3 round bodies of whole-plane ops —
+    both the fastest jnp formulation and ~12x smaller to compile than a
+    per-lane version (XLA:CPU compile time is proportional to graph size).
     """
     import jax
 
-    ext_rc = jnp.asarray(
-        np.stack([[_const(c) for c in row] for row in G.P2GL_EXTERNAL_RC])
-    )  # (RF, T, NL, 1)
-    int_rc = jnp.asarray(np.stack([_const(c) for c in G.P2GL_INTERNAL_RC]))
+    from . import gl_core as C
 
-    def ext_body(s, rc):
-        lst = [_sbox7(gl_add(s[i], rc[i])) for i in range(T)]
-        return jnp.stack(_external_linear(lst)), None
+    b = state.shape[2]
+    f4 = [state[:, k, :] for k in range(NL)]
+    diag4 = [jnp.asarray(_P2_DIAG[k]) for k in range(NL)]
 
-    def int_body(s, rc):
-        lst = [_sbox7(gl_add(s[0], rc))] + [s[i] for i in range(1, T)]
-        return jnp.stack(_internal_linear(lst)), None
+    def ext_body(carry, rc):
+        f4 = C.add(list(carry), [rc[k] for k in range(NL)])
+        f4 = C.sbox7_all(f4)
+        f4 = C.external_linear(f4)
+        return tuple(f4), None
 
-    s = jnp.stack(_external_linear([state[i] for i in range(T)]))
-    s, _ = jax.lax.scan(ext_body, s, ext_rc[: G.RF // 2])
-    s, _ = jax.lax.scan(int_body, s, int_rc)
-    s, _ = jax.lax.scan(ext_body, s, ext_rc[G.RF // 2 :])
-    return s
+    def int_body(carry, rc):
+        f4 = C.add_rc_lane0(list(carry), [rc[k] for k in range(NL)])
+        f4 = C.sbox7_lane0(f4)
+        f4 = C.internal_linear(f4, diag4)
+        return tuple(f4), None
+
+    f4 = tuple(C.external_linear(f4))
+    f4, _ = jax.lax.scan(ext_body, f4, jnp.asarray(_P2_EXT_RC[: G.RF // 2]))
+    f4, _ = jax.lax.scan(int_body, f4, jnp.asarray(_P2_INT_RC))
+    f4, _ = jax.lax.scan(ext_body, f4, jnp.asarray(_P2_EXT_RC[G.RF // 2 :]))
+    f4 = C.canon(list(f4))
+    return jnp.stack(f4, axis=1)  # (12, NL, B)
 
 
 # ---------------------------------------------------------------------------
@@ -278,22 +301,40 @@ def _bricks(s: list[jnp.ndarray]) -> list[jnp.ndarray]:
 
 
 def monolith_permutation(state: jnp.ndarray) -> jnp.ndarray:
-    """Rounds under lax.scan (see poseidon2_gl_permutation note)."""
+    """(12, 4, B) canonical -> permuted; vectorized Bars/Bricks/Concrete
+    under lax.scan (structure: oracle/goldilocks.py monolith_permutation)."""
     import jax
 
-    rc = jnp.asarray(np.stack([[_const(c) for c in row] for row in G.MONOLITH_RC]))
+    from . import gl_core as C
 
-    def body(s, rc_r):
-        lst = [s[i] for i in range(T)]
-        lst = _bars(lst)
-        lst = _bricks(lst)
-        lst = _external_linear(lst)
-        lst = [gl_add(v, rc_r[i]) for i, v in enumerate(lst)]
-        return jnp.stack(lst), None
+    rc = jnp.asarray(np.stack([_rc_planes(row) for row in G.MONOLITH_RC]))
+    nb = G.MONOLITH_BARS
 
-    s = jnp.stack(_external_linear([state[i] for i in range(T)]))  # initial Concrete
-    s, _ = jax.lax.scan(body, s, rc)
-    return s
+    def body(carry, rc_r):
+        f4 = list(carry)
+        # Bars on the first nb lanes: the bytewise map needs canonical
+        # inputs and its raw output is only < 2^64 (oracle reduces % P_GL)
+        bar_rows = C.canon([f4[k][:nb] for k in range(NL)])
+        bar_rows = [_bar_limb16(v) for v in bar_rows]
+        bar_rows = C.canon(bar_rows)
+        f4 = [
+            jnp.concatenate([bar_rows[k], f4[k][nb:]], axis=0) for k in range(NL)
+        ]
+        # Bricks: out_0 = x_0; out_i = x_i + x_{i-1}^2.  Square every lane,
+        # shift the squares down one lane (zero into lane 0), add.
+        sq = C.mul(f4, f4)
+        zero1 = jnp.zeros_like(f4[0][0:1])
+        shifted = [jnp.concatenate([zero1, sq[k][:-1]], axis=0) for k in range(NL)]
+        f4 = C.add(f4, shifted)
+        # Concrete + round constants
+        f4 = C.external_linear(f4)
+        f4 = C.add(f4, [rc_r[k] for k in range(NL)])
+        return tuple(f4), None
+
+    f4 = tuple(C.external_linear([state[:, k, :] for k in range(NL)]))  # initial Concrete
+    f4, _ = jax.lax.scan(body, f4, rc)
+    f4 = C.canon(list(f4))
+    return jnp.stack(f4, axis=1)
 
 
 PERMUTATIONS = {
@@ -331,20 +372,33 @@ def sponge_digest_felts(hash_fun: str, felts: jnp.ndarray) -> jnp.ndarray:
         from ..oracle.goldilocks import SPONGE_IV_GL
 
         SPONGE_IV = _const(SPONGE_IV_GL)  # numpy: safe to cache across traces
+    import jax
+
+    from . import gl_core as C
+
     n, _, b = felts.shape
     perm = PERMUTATIONS[hash_fun]
     total = n + 1
     total += (-total) % RATE
-    one = jnp.broadcast_to(jnp.asarray(_const(1)), (NL, b)).astype(U32)
-    zero = jnp.zeros((NL, b), U32)
+    one = jnp.broadcast_to(jnp.asarray(_const(1)), (1, NL, b)).astype(U32)
+    pads = [one]
+    if total > n + 1:
+        pads.append(jnp.zeros((total - n - 1, NL, b), U32))
+    blocks = jnp.concatenate([felts] + pads, axis=0).reshape(
+        total // RATE, RATE, NL, b
+    )
     iv = jnp.broadcast_to(SPONGE_IV, (NL, b)).astype(U32)
     state = jnp.concatenate([jnp.zeros((T - 1, NL, b), U32), iv[None]], axis=0)
-    for i in range(0, total, RATE):
-        lanes = []
-        for j in range(RATE):
-            k = i + j
-            blk = felts[k] if k < n else (one if k == n else zero)
-            lanes.append(gl_add(state[j], blk))
-        state = jnp.concatenate([jnp.stack(lanes), state[RATE:]], axis=0)
-        state = perm(state)
+
+    def body(state, blk):
+        # absorb: add the block to the first RATE lanes (loose add via core)
+        f4 = [state[:, k, :] for k in range(NL)]
+        add4 = [
+            jnp.concatenate([blk[:, k, :], jnp.zeros((T - RATE, b), U32)], axis=0)
+            for k in range(NL)
+        ]
+        f4 = C.add(f4, add4)
+        return perm(jnp.stack(f4, axis=1)), None
+
+    state, _ = jax.lax.scan(body, state, blocks)
     return state[:4]

@@ -109,6 +109,13 @@ def configs_from_args(args) -> tuple[GlobalConfig, DataSetConfig]:
 
 
 def main(argv=None) -> int:
+    # persistent XLA compile cache: the tpu backend jits one program per
+    # tree-layer width, which on small CPU hosts dominates wall-clock on
+    # first runs; must be set before jax's first import.
+    from .cache import set_default_cache_env
+
+    set_default_cache_env()
+
     args = build_parser().parse_args(argv)
 
     # combo validation (types.nim:93-109: Monolith is Goldilocks-only)

@@ -48,8 +48,8 @@ def _conv_kernel(a_ref, b_ref, o_ref):
     a = a_ref[:]
     acc = jnp.zeros_like(a)
     for _ in range(REPS // 2):
-        f = (a & jnp.uint32(0xFF)).astype(jnp.float32)
-        acc = acc + f.astype(jnp.uint32)
+        f = (a & jnp.uint32(0xFF)).astype(jnp.int32).astype(jnp.float32)
+        acc = acc + f.astype(jnp.int32).astype(jnp.uint32)
     o_ref[:] = acc
 
 
