@@ -34,7 +34,7 @@ _PALLAS_MIN_BATCH = GP.DEFAULT_TILE
 
 def _use_pallas(hash_fun: str, b: int) -> bool:
     return (
-        hash_fun == "poseidon2"
+        hash_fun in ("poseidon2", "monolith")
         and b >= _PALLAS_MIN_BATCH
         and jax.default_backend() == "tpu"
     )
@@ -55,7 +55,7 @@ def sponge_digests(hash_fun: str, felts: jnp.ndarray) -> jnp.ndarray:
     b = felts.shape[-1]
     if _use_pallas(hash_fun, b):
         padded, b0 = _pad_lanes(felts, GP.DEFAULT_TILE)
-        return GP.sponge_digest_felts(padded)[:, :, :b0]
+        return GP.sponge_digest_felts(padded, hash_fun=hash_fun)[:, :, :b0]
     return GJ.sponge_digest_felts(hash_fun, felts)
 
 
@@ -67,7 +67,7 @@ def compress_digests(
     if _use_pallas(hash_fun, b):
         xp, b0 = _pad_lanes(x, GP.DEFAULT_TILE)
         yp, _ = _pad_lanes(y, GP.DEFAULT_TILE)
-        return GP.compress(xp, yp, key)[:, :, :b0]
+        return GP.compress(xp, yp, key, hash_fun=hash_fun)[:, :, :b0]
     return GJ.compress_batch(hash_fun, key, x, y)
 
 

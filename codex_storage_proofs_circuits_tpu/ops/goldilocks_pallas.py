@@ -92,6 +92,9 @@ from ..oracle.goldilocks import SPONGE_IV_GL  # noqa: E402
 RC_TABLE[:, IV_COL] = _lane_limbs([SPONGE_IV_GL] + [0] * (T - 1))
 for _k in range(4):
     RC_TABLE[:, KEY0_COL + _k] = _lane_limbs([_k] + [0] * (T - 1))
+MONO_RC_COL0 = 48  # 6 monolith round-constant columns
+for _r in range(G.MONOLITH_ROUNDS):
+    RC_TABLE[:, MONO_RC_COL0 + _r] = _lane_limbs(G.MONOLITH_RC[_r])
 
 P_LIMB = C.P_LIMB
 
@@ -144,24 +147,63 @@ def _perm_core_gl(rc, f4):
     return f4
 
 
+def _bar_limb16(x):
+    """8-bit Monolith bar on both bytes of a 16-bit limb plane:
+    bar(b) = rotl1(b ^ (rotl1(~b) & rotl2(b) & rotl3(b)))."""
+    lo = x & jnp.uint32(0xFF)
+    hi = (x >> 8) & jnp.uint32(0xFF)
+
+    def bar(b):
+        rot = lambda v, k: ((v << k) | (v >> (8 - k))) & jnp.uint32(0xFF)
+        y = b ^ (rot(~b & jnp.uint32(0xFF), 1) & rot(b, 2) & rot(b, 3))
+        return rot(y, 1)
+
+    return bar(lo) | (bar(hi) << 8)
+
+
+def _mono_core_gl(rc, f4):
+    """Full unrolled 6-round Monolith-64 permutation, loose in/out
+    (structure: oracle/goldilocks.py monolith_permutation)."""
+    nb = G.MONOLITH_BARS
+    f4 = _external_linear(f4)  # initial Concrete
+    for r in range(G.MONOLITH_ROUNDS):
+        # Bars on the first nb lanes (bytewise map needs canonical input;
+        # raw output < 2^64 is reduced like the oracle's % P_GL)
+        rows = _canon([f4[k][:nb] for k in range(NL)])
+        rows = _canon([_bar_limb16(v) for v in rows])
+        f4 = [jnp.concatenate([rows[k], f4[k][nb:]], axis=0) for k in range(NL)]
+        # Bricks: out_0 = x_0, out_i = x_i + x_{i-1}^2
+        sq = _mul(f4, f4)
+        zero1 = jnp.zeros_like(f4[0][0:1])
+        shifted = [jnp.concatenate([zero1, sq[k][:-1]], axis=0) for k in range(NL)]
+        f4 = _add(f4, shifted)
+        # Concrete + round constants
+        f4 = _external_linear(f4)
+        f4 = _add_rc(f4, rc, MONO_RC_COL0 + r)
+    return f4
+
+
+PERM_CORES = {"poseidon2": _perm_core_gl, "monolith": _mono_core_gl}
+
+
 def _split_state(ref_block):
     return [ref_block[k * T : (k + 1) * T, :] for k in range(NL)]
 
 
-def _perm_kernel_gl(rc_ref, state_ref, out_ref):
+def _perm_kernel_gl(rc_ref, state_ref, out_ref, *, hash_fun: str = "poseidon2"):
     bt = state_ref.shape[1]
 
     def rc(col, k):
         return jnp.broadcast_to(rc_ref[k * T : (k + 1) * T, col : col + 1], (T, bt))
 
     f4 = _split_state(state_ref)
-    f4 = _perm_core_gl(rc, f4)
+    f4 = PERM_CORES[hash_fun](rc, f4)
     f4 = _canon(f4)
     for k in range(NL):
         out_ref[k * T : (k + 1) * T, :] = f4[k]
 
 
-def _sponge8_kernel_gl(rc_ref, blocks_ref, out_ref):
+def _sponge8_kernel_gl(rc_ref, blocks_ref, out_ref, *, hash_fun: str = "poseidon2"):
     """Fused rate-8 sponge: absorb all blocks in-kernel, state loose between
     permutations.  blocks_ref rows: block-major, within a block limb-major
     over the 8 rate lanes (row = blk*32 + limb*8 + lane)."""
@@ -188,7 +230,7 @@ def _sponge8_kernel_gl(rc_ref, blocks_ref, out_ref):
             f4[k] = f4[k] + padded
         limbs, c = _ripple(f4, NL)
         f4 = _fold_carry(limbs, c)
-        return tuple(_perm_core_gl(rc, f4))
+        return tuple(PERM_CORES[hash_fun](rc, f4))
 
     f4 = jax.lax.fori_loop(0, nb, body, tuple(f4))
     f4 = _canon(list(f4))
@@ -202,9 +244,12 @@ def _sponge8_kernel_gl(rc_ref, blocks_ref, out_ref):
 DEFAULT_TILE = 512
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret", "hash_fun"))
 def permutation(
-    state: jnp.ndarray, batch_tile: int = DEFAULT_TILE, interpret: bool = False
+    state: jnp.ndarray,
+    batch_tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+    hash_fun: str = "poseidon2",
 ) -> jnp.ndarray:
     """(12, 4, B) canonical -> (12, 4, B) canonical, fused kernel.
 
@@ -216,7 +261,7 @@ def permutation(
     assert b % batch_tile == 0, (b, batch_tile)
     flat = state.transpose(1, 0, 2).reshape(NL * T, b)  # limb-major rows
     out = pl.pallas_call(
-        _perm_kernel_gl,
+        functools.partial(_perm_kernel_gl, hash_fun=hash_fun),
         out_shape=jax.ShapeDtypeStruct((NL * T, b), jnp.uint32),
         grid=(b // batch_tile,),
         in_specs=[
@@ -248,7 +293,10 @@ def compress(x: jnp.ndarray, y: jnp.ndarray, key: int, **kw) -> jnp.ndarray:
 
 
 def sponge_digest_felts(
-    felts: jnp.ndarray, batch_tile: int = DEFAULT_TILE, interpret: bool = False
+    felts: jnp.ndarray,
+    batch_tile: int = DEFAULT_TILE,
+    interpret: bool = False,
+    hash_fun: str = "poseidon2",
 ) -> jnp.ndarray:
     """Fused rate-8 sponge over (n, 4, B) felt batches -> (4, 4, B) digests.
 
@@ -274,7 +322,7 @@ def sponge_digest_felts(
         .reshape(nb * NL * RATE, b)
     )
     out = pl.pallas_call(
-        _sponge8_kernel_gl,
+        functools.partial(_sponge8_kernel_gl, hash_fun=hash_fun),
         out_shape=jax.ShapeDtypeStruct((NL * T, b), jnp.uint32),
         grid=(b // batch_tile,),
         in_specs=[

@@ -252,22 +252,29 @@ def _perm_core(rc, p, negp, x, y, z):
     return x, y, z
 
 
-def _perm_kernel(rc_ref, cp_ref, state_ref, out_ref):
+def _perm_kernel(rc_ref, cp_ref, state_ref, out_ref, *, n_chains: int = 1):
     bt = state_ref.shape[1]
+    cw = bt // n_chains  # columns per chain
 
-    def rc(col):
-        # static lane slice of the constant table, broadcast across the tile
-        return jnp.broadcast_to(rc_ref[:, col : col + 1], (NL, bt))
+    # n_chains > 1 splits the tile into independent dependence chains so the
+    # Mosaic scheduler can interleave them and fill the serial-latency
+    # bubbles of the Montgomery quotient row chain (measured ~42% of cycles
+    # are bubbles at n_chains=1, docs/KERNEL_ANALYSIS.md).
+    for c in range(n_chains):
+        lo = c * cw
 
-    p = cp_ref[0:NL, :]
-    negp = cp_ref[NL : 2 * NL, :]
-    x = state_ref[0:NL, :]
-    y = state_ref[NL : 2 * NL, :]
-    z = state_ref[2 * NL : 3 * NL, :]
-    x, y, z = _perm_core(rc, p, negp, x, y, z)
-    out_ref[0:NL, :] = _exact_canonical(x, p)
-    out_ref[NL : 2 * NL, :] = _exact_canonical(y, p)
-    out_ref[2 * NL : 3 * NL, :] = _exact_canonical(z, p)
+        def rc(col):
+            return jnp.broadcast_to(rc_ref[:, col : col + 1], (NL, cw))
+
+        p = cp_ref[0:NL, lo : lo + cw]
+        negp = cp_ref[NL : 2 * NL, lo : lo + cw]
+        x = state_ref[0:NL, lo : lo + cw]
+        y = state_ref[NL : 2 * NL, lo : lo + cw]
+        z = state_ref[2 * NL : 3 * NL, lo : lo + cw]
+        x, y, z = _perm_core(rc, p, negp, x, y, z)
+        out_ref[0:NL, lo : lo + cw] = _exact_canonical(x, p)
+        out_ref[NL : 2 * NL, lo : lo + cw] = _exact_canonical(y, p)
+        out_ref[2 * NL : 3 * NL, lo : lo + cw] = _exact_canonical(z, p)
 
 
 def _sponge2_kernel(rc_ref, cp_ref, blocks_ref, out_ref):
@@ -335,23 +342,28 @@ def sponge2_absorb(
     )(jnp.asarray(RC_TABLE), jnp.asarray(cp), flat)
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
+@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret", "n_chains"))
 def permutation(
-    state: jnp.ndarray, batch_tile: int = 512, interpret: bool = False
+    state: jnp.ndarray,
+    batch_tile: int = 512,
+    interpret: bool = False,
+    n_chains: int = 1,
 ) -> jnp.ndarray:
     """Batched permutation via the fused kernel.
 
     state: (3, NL, B) uint32 canonical Montgomery-form limb planes (< P);
     B must be a multiple of batch_tile.  Output canonical Montgomery < P.
+    n_chains splits each tile into independent scheduling chains.
     """
     three, nl, b = state.shape
     assert three == 3 and nl == NL
     assert b % batch_tile == 0, (b, batch_tile)
+    assert batch_tile % n_chains == 0
     flat = state.reshape(3 * NL, b)
     grid = (b // batch_tile,)
     cp = np.repeat(CONST_PLANES.reshape(2 * NL, 1), batch_tile, axis=1)
     out = pl.pallas_call(
-        _perm_kernel,
+        functools.partial(_perm_kernel, n_chains=n_chains),
         out_shape=jax.ShapeDtypeStruct((3 * NL, b), jnp.uint32),
         grid=grid,
         in_specs=[

@@ -172,6 +172,51 @@ def test_external_round_matches_oracle():
         assert _unpack(out, b) == exp
 
 
+def test_monolith_round_matches_oracle():
+    """One full Monolith round (Bars -> Bricks -> Concrete -> +RC)."""
+    rng = np.random.default_rng(13)
+    av = _rand(rng)
+    r = 1
+
+    def kern(rc_ref, a_ref, o_ref):
+        bt = a_ref.shape[1]
+
+        def rc(col, k):
+            return jnp.broadcast_to(rc_ref[k * T : (k + 1) * T, col : col + 1], (T, bt))
+
+        nb = G.MONOLITH_BARS
+        f4 = K._split_state(a_ref)
+        rows = K._canon([f4[k][:nb] for k in range(NL)])
+        rows = K._canon([K._bar_limb16(v) for v in rows])
+        f4 = [jnp.concatenate([rows[k], f4[k][nb:]], axis=0) for k in range(NL)]
+        sq = K._mul(f4, f4)
+        zero1 = jnp.zeros_like(f4[0][0:1])
+        shifted = [jnp.concatenate([zero1, sq[k][:-1]], axis=0) for k in range(NL)]
+        f4 = K._add(f4, shifted)
+        f4 = K._external_linear(f4)
+        f4 = K._add_rc(f4, rc, K.MONO_RC_COL0 + r)
+        f4 = K._canon(f4)
+        for k in range(NL):
+            o_ref[k * T : (k + 1) * T, :] = f4[k]
+
+    out = pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((NL * T, B), jnp.uint32),
+        interpret=True,
+    )(jnp.asarray(K.RC_TABLE), _pack(av))
+    out = np.asarray(jax.device_get(out))
+    for b in range(B):
+        s = [int(v) for v in av[:, b]]
+        s = [
+            O._bar64(s[i]) % O.P_GL if i < G.MONOLITH_BARS else s[i]
+            for i in range(T)
+        ]
+        s = O._bricks(s)
+        s = O._external_linear(s)
+        s = [(v + c) % O.P_GL for v, c in zip(s, G.MONOLITH_RC[r])]
+        assert _unpack(out, b) == s
+
+
 def test_rc_table_layout():
     """The packed constant table round-trips to the field constants."""
     for r in range(G.RF):

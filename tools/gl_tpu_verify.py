@@ -81,6 +81,25 @@ def main() -> int:
         )
         assert got == exp, b
     print("rate-8 sponge bit-exact vs oracle on 4 digests", flush=True)
+
+    # Monolith permutation kernel
+    out = K.permutation(x, batch_tile=tile, hash_fun="monolith")
+    chk = np.asarray(jax.device_get(out[:, :, :4]))
+    for b in range(4):
+        exp = O.monolith_permutation([int(v) for v in vals[:, b]])
+        got = [
+            int(sum(int(chk[l, k, b]) << (16 * k) for k in range(4))) for l in range(12)
+        ]
+        assert got == exp, b
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        y = x
+        for _ in range(iters):
+            y = K.permutation(y, batch_tile=tile, hash_fun="monolith")
+        jax.device_get(y[0, 0, :1])
+        best = min(best, (time.perf_counter() - t0 - sync) / iters)
+    print(f"Monolith bit-exact; perm/s (tile {tile}): {B/best/1e6:.2f} M", flush=True)
     return 0
 
 
