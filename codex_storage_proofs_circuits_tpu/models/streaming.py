@@ -131,6 +131,16 @@ def _chunk_layers_jit(felts, block_tree_depth: int, n_chunk_layers: int):
     return H.slot_tree_from_felts(felts, block_tree_depth)
 
 
+@functools.partial(jax.jit, static_argnames=("btd", "chunk_depth"))
+def _chunk_tops_jit(chunk_roots_canonical, btd: int, chunk_depth: int):
+    """Reduce the chunk-root layer to the slot root, all in one dispatch."""
+    roots = L.to_mont(chunk_roots_canonical)
+    tops = H.tree_reduce_layers(
+        roots, bottom_depths=(0, btd), depth_offset=chunk_depth
+    )
+    return [L.from_mont(t) for t in tops[1:]]
+
+
 @functools.partial(
     jax.jit, static_argnames=("cell_size", "block_tree_depth")
 )
@@ -229,12 +239,11 @@ def streaming_slot_layers(
         for seglist in segments
     ]
     if n_chunks > 1:
-        # reduce the chunk roots; keys follow the global depth schedule
-        chunk_roots = L.to_mont(out[-1])
-        tops = H.tree_reduce_layers(
-            chunk_roots, bottom_depths=(0, btd), depth_offset=chunk_depth
-        )
-        out.extend(L.from_mont(t) for t in tops[1:])
+        # reduce the chunk roots; keys follow the global depth schedule.
+        # One jit for the whole tail: run eagerly, every op pays a full
+        # dispatch round-trip on the tunneled backend (~8 s of latency for
+        # ~16 roots of real work).
+        out.extend(_chunk_tops_jit(out[-1], btd, chunk_depth))
     out[-1].block_until_ready()
     st.finalize_s += time.perf_counter() - t0
     return out

@@ -304,7 +304,9 @@ def _sponge2_kernel(rc_ref, cp_ref, blocks_ref, out_ref):
 
 
 # sponge tiles above this VMEM budget fall back to per-permutation calls
-_SPONGE_VMEM_BUDGET = 6 * 1024 * 1024
+# (v5e has 128 MB VMEM/core; the block input for a 2048-byte cell at
+# batch_tile 512 is ~8.9 MB, well within budget)
+_SPONGE_VMEM_BUDGET = 48 * 1024 * 1024
 
 
 def sponge2_fits(nblocks: int, batch_tile: int = 512) -> bool:
