@@ -57,7 +57,9 @@ def _bench_compress(on_tpu: bool, small: bool) -> dict:
     x = jnp.asarray(states)
 
     if on_tpu:
-        perm = lambda s: P2K.permutation(s, batch_tile=512)
+        # best measured config on v5e (tools/sweep_kernel.py round 3):
+        # tile 1024 x 2 independent scheduling chains
+        perm = lambda s: P2K.permutation(s, batch_tile=1024, n_chains=2)
     else:
         perm = jax.jit(P2.permutation)
 
@@ -130,10 +132,11 @@ def _bench_slot_root(on_tpu: bool, small: bool) -> dict:
     from codex_storage_proofs_circuits_tpu.oracle.slot import DataSource, SlotConfig
 
     if on_tpu and not small:
+        # 1 GB slot (BASELINE.json headline: 1 GB slot-root wall-clock)
         cfg = SlotConfig(
             cell_size=2048,
             block_size=65536,
-            n_cells=131072,
+            n_cells=1 << 19,
             n_samples=1,
             data_src=DataSource("fake", seed=12345),
         )
