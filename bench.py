@@ -170,6 +170,48 @@ def _bench_slot_root(on_tpu: bool, small: bool) -> dict:
     }
 
 
+def _bench_gl_slot_root(on_tpu: bool, small: bool) -> dict:
+    """GL (default-field) slot-root build wall-clock via the streaming path."""
+    from codex_storage_proofs_circuits_tpu.models.streaming import (
+        StreamingStats,
+        streaming_slot_root_gl,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.slot import DataSource, SlotConfig
+
+    if on_tpu and not small:
+        cfg = SlotConfig(
+            cell_size=2048,
+            block_size=65536,
+            n_cells=1 << 19,  # 1 GB
+            n_samples=1,
+            data_src=DataSource("fake", seed=12345),
+        )
+        chunk = 1 << 13
+    else:
+        cfg = SlotConfig(
+            cell_size=256,
+            block_size=2048,
+            n_cells=64,
+            n_samples=1,
+            data_src=DataSource("fake", seed=12345),
+        )
+        chunk = 32
+    root0 = streaming_slot_root_gl(cfg, chunk_cells=chunk)
+    stats = StreamingStats()
+    t0 = time.perf_counter()
+    root = streaming_slot_root_gl(cfg, chunk_cells=chunk, stats=stats)
+    wall = time.perf_counter() - t0
+    assert root == root0
+    slot_bytes = cfg.cell_size * cfg.n_cells
+    return {
+        "gl_slot_root_wall_s": wall,
+        "slot_bytes": slot_bytes,
+        "gl_slot_mb_per_s": slot_bytes / wall / 1e6,
+        "gl_slot_root": [str(v) for v in root],
+        "stages": stats.as_dict(),
+    }
+
+
 def main() -> int:
     small = "--small" in sys.argv
     import contextlib
@@ -197,6 +239,10 @@ def main() -> int:
             slot = _bench_slot_root(on_tpu, small)
         except Exception as e:
             slot = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            gl_slot = _bench_gl_slot_root(on_tpu, small)
+        except Exception as e:
+            gl_slot = {"error": f"{type(e).__name__}: {e}"}
 
     per_sec = comp["compress_per_s"]
     out = {
@@ -208,6 +254,7 @@ def main() -> int:
             "slot_root_wall_s": round(slot.get("slot_root_wall_s", -1.0), 3),
             "slot_mb": round(slot.get("slot_bytes", 0) / 1e6, 1),
             "gl_compress_per_s": round(glc.get("gl_compress_per_s", -1.0), 1),
+            "gl_slot_root_wall_s": round(gl_slot.get("gl_slot_root_wall_s", -1.0), 3),
         },
     }
     print(json.dumps(out))
@@ -218,6 +265,7 @@ def main() -> int:
         "compress": comp,
         "gl_compress": glc,
         "slot_root": slot,
+        "gl_slot_root": gl_slot,
     }
     try:
         with open(os.path.join(os.path.dirname(__file__), "bench_metrics.json"), "w") as f:
@@ -229,6 +277,7 @@ def main() -> int:
             "poseidon2_compress_per_s_per_chip": round(per_sec, 1),
             "gl_compress_per_s_per_chip": glc.get("gl_compress_per_s"),
             "slot_root_wall_s": slot.get("slot_root_wall_s"),
+            "gl_slot_root_wall_s": gl_slot.get("gl_slot_root_wall_s"),
             "slot_bytes": slot.get("slot_bytes"),
         }
         with open(baseline_path, "w") as f:

@@ -255,3 +255,109 @@ def streaming_slot_root(
     """Slot root only (python int), via the chunked build."""
     layers = streaming_slot_layers(cfg, chunk_cells, stats)
     return L.unpack(layers[-1])[0]
+
+
+# ---------------------------------------------------------------------------
+# Goldilocks streaming twin (the reference's default field).  Same chunked
+# aligned-subtree structure; digest layers are (4 lanes, 4 limbs, W).
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hash_fun", "cell_size", "block_tree_depth")
+)
+def _fused_fake_chunk_gl(seed1_planes, seed2_planes, hash_fun, cell_size, block_tree_depth):
+    """One device dispatch per fake-data chunk: PRNG -> byte pad -> 62-byte
+    felt encode -> rate-8 sponge -> subtree reduce (GL digest layers)."""
+    from ..ops.fake_prng import _gen_scan
+    from ..ops.gl_encode import encode_cells_gl_device
+    from ..parallel.gl_tree import gl_tree_reduce_layers
+    from . import gl_hashing as GH
+
+    rows = _gen_scan(seed1_planes, seed2_planes, cell_size)  # (cell, B)
+    felts = encode_cells_gl_device(rows, cell_size)
+    hashes = GH.sponge_digests(hash_fun, felts)
+    return gl_tree_reduce_layers(hashes, hash_fun, (0, block_tree_depth))
+
+
+@functools.partial(jax.jit, static_argnames=("hash_fun", "btd", "chunk_depth"))
+def _chunk_tops_gl_jit(chunk_roots, hash_fun, btd: int, chunk_depth: int):
+    from ..parallel.gl_tree import gl_tree_reduce_layers
+
+    return gl_tree_reduce_layers(
+        chunk_roots, hash_fun, (0, btd), depth_offset=chunk_depth
+    )[1:]
+
+
+def streaming_slot_layers_gl(
+    cfg: SlotConfig,
+    hash_fun: str = "poseidon2",
+    chunk_cells: int = 1 << 13,
+    stats: StreamingStats | None = None,
+) -> list[jnp.ndarray]:
+    """GL slot-tree digest layer stack, built in bounded-memory chunks.
+
+    Returns layers[d] of shape (4, 4, n_cells >> d) (canonical), identical
+    to models/gl_hashing.slot_tree_from_felts_gl on the whole slot.
+    """
+    n_cells = cfg.n_cells
+    btd = cfg.cells_per_block.bit_length() - 1
+    if chunk_cells >= n_cells:
+        chunk_cells = n_cells
+    assert n_cells % chunk_cells == 0
+    assert chunk_cells & (chunk_cells - 1) == 0
+    n_chunks = n_cells // chunk_cells
+    chunk_depth = chunk_cells.bit_length() - 1
+    st = stats if stats is not None else StreamingStats()
+
+    segments: list[list[jnp.ndarray]] = [[] for _ in range(chunk_depth + 1)]
+    for c in range(n_chunks):
+        t0 = time.perf_counter()
+        if cfg.data_src.kind == "fake":
+            from ..ops.fake_prng import fake_seed_planes
+
+            s1, s2 = fake_seed_planes(cfg.data_src.seed, c * chunk_cells, chunk_cells)
+            t1 = time.perf_counter()
+            layers = _fused_fake_chunk_gl(s1, s2, hash_fun, cfg.cell_size, btd)
+        else:
+            idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
+            cells = D.load_cells(cfg, idx)
+            t1 = time.perf_counter()
+            from ..ops.gl_encode import encode_cells_gl_device
+            from ..parallel.gl_tree import gl_tree_reduce_layers
+            from . import gl_hashing as GH
+
+            felts = encode_cells_gl_device(jnp.asarray(cells.T), cfg.cell_size)
+            hashes = GH.sponge_digests(hash_fun, felts)
+            layers = gl_tree_reduce_layers(hashes, hash_fun, (0, btd))
+        for d, lyr in enumerate(layers):
+            segments[d].append(lyr)
+        st.datagen_s += t1 - t0
+        st.device_s += time.perf_counter() - t1
+        st.chunks += 1
+        st.cells += chunk_cells
+
+    t0 = time.perf_counter()
+    out = [
+        seg[0] if len(seg) == 1 else jnp.concatenate(seg, axis=2) for seg in segments
+    ]
+    if n_chunks > 1:
+        out.extend(_chunk_tops_gl_jit(out[-1], hash_fun, btd, chunk_depth))
+    out[-1].block_until_ready()
+    st.finalize_s += time.perf_counter() - t0
+    return out
+
+
+def streaming_slot_root_gl(
+    cfg: SlotConfig,
+    hash_fun: str = "poseidon2",
+    chunk_cells: int = 1 << 13,
+    stats: StreamingStats | None = None,
+) -> tuple:
+    """GL slot root (Digest tuple of python ints), via the chunked build."""
+    import jax as _jax
+
+    layers = streaming_slot_layers_gl(cfg, hash_fun, chunk_cells, stats)
+    arr = np.asarray(_jax.device_get(layers[-1]))
+    return tuple(
+        int(sum(int(arr[j, l, 0]) << (16 * l) for l in range(4))) for j in range(4)
+    )

@@ -86,3 +86,22 @@ def test_streaming_checkpoint_resume(tmp_path):
     )
     from codex_storage_proofs_circuits_tpu.models.streaming import ChunkCheckpoint
     assert ChunkCheckpoint(ck, cfg2, 8).done == set()
+
+
+def test_streaming_gl_matches_oracle():
+    from codex_storage_proofs_circuits_tpu.models.streaming import (
+        streaming_slot_root_gl,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks_pipeline import (
+        calc_slot_tree_gl,
+    )
+
+    cfg = SlotConfig(
+        cell_size=256,
+        block_size=2048,
+        n_cells=64,
+        n_samples=1,
+        data_src=DataSource("fake", seed=12345),
+    )
+    got = streaming_slot_root_gl(cfg, chunk_cells=16)
+    assert got == calc_slot_tree_gl("poseidon2", cfg).root
