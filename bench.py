@@ -113,7 +113,24 @@ def _bench_gl_compress(on_tpu: bool, small: bool) -> dict:
         return dt / iters
 
     dt = min(run_once() for _ in range(3))
-    return {"gl_compress_per_s": batch / dt, "batch": batch, "iters": iters}
+    out = {"gl_compress_per_s": batch / dt, "batch": batch, "iters": iters}
+
+    if on_tpu:  # Monolith-64 (the reference's other GL hash option)
+        permm = lambda s: GP.permutation(
+            s, batch_tile=GP.DEFAULT_TILE, hash_fun="monolith"
+        )
+        jax.device_get(permm(x)[0, 0, :1])
+
+        def run_mono():
+            t0 = time.perf_counter()
+            y = x
+            for _ in range(iters):
+                y = permm(y)
+            jax.device_get(y[0, 0, :1])
+            return max(time.perf_counter() - t0 - _SYNC_OVERHEAD, 1e-9) / iters
+
+        out["monolith_compress_per_s"] = batch / min(run_mono() for _ in range(3))
+    return out
 
 
 def _bench_slot_root(on_tpu: bool, small: bool) -> dict:
@@ -255,6 +272,7 @@ def main() -> int:
             "slot_mb": round(slot.get("slot_bytes", 0) / 1e6, 1),
             "gl_compress_per_s": round(glc.get("gl_compress_per_s", -1.0), 1),
             "gl_slot_root_wall_s": round(gl_slot.get("gl_slot_root_wall_s", -1.0), 3),
+            "monolith_compress_per_s": round(glc.get("monolith_compress_per_s", -1.0), 1),
         },
     }
     print(json.dumps(out))
