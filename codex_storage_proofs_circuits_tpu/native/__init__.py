@@ -59,7 +59,12 @@ def _load():
     with _lock:
         if _lib is not None or _err is not None:
             return _lib
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+        srcs = [_SRC] + [
+            os.path.join(_DIR, f)
+            for f in ("cspc_gl.c", "poseidon2_constants.h", "gl_constants.h")
+        ]
+        newest = max(os.path.getmtime(s) for s in srcs if os.path.exists(s))
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < newest:
             _err = _build()
             if _err is not None:
                 return None
@@ -86,6 +91,27 @@ def _load():
         lib.cspc_sample_cell_index.argtypes = [
             _U64P, _U64P, ctypes.c_uint64, ctypes.c_int]
         lib.cspc_sample_cell_index.restype = ctypes.c_uint64
+        # Goldilocks track
+        lib.cspc_gl_permutation.argtypes = [_U64P, ctypes.c_int]
+        lib.cspc_gl_compress.argtypes = [
+            _U64P, _U64P, _U64P, ctypes.c_uint64, ctypes.c_int]
+        lib.cspc_gl_digest_felts.argtypes = [
+            _U64P, _U64P, ctypes.c_size_t, ctypes.c_int]
+        lib.cspc_gl_hash_cell.argtypes = [
+            _U64P, _U8P, ctypes.c_size_t, ctypes.c_int]
+        lib.cspc_gl_hash_cells.argtypes = [
+            _U64P, _U8P, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.cspc_gl_merkle_build.argtypes = [
+            _U64P, _U64P, ctypes.c_size_t, ctypes.c_int, ctypes.c_int]
+        lib.cspc_gl_merkle_build.restype = ctypes.c_int
+        lib.cspc_gl_slot_tree.argtypes = [
+            _U64P, ctypes.c_size_t, ctypes.c_size_t, ctypes.c_uint64,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.cspc_gl_slot_tree.restype = ctypes.c_int
+        lib.cspc_gl_sample_cell_index.argtypes = [
+            _U64P, _U64P, ctypes.c_uint64, ctypes.c_uint64, ctypes.c_int]
+        lib.cspc_gl_sample_cell_index.restype = ctypes.c_uint64
         _lib = lib
         return _lib
 
@@ -294,6 +320,148 @@ def generate_proof_input_native(glob, dset, slot_index: int, entropy: int):
         n_slots_per_dataset=dset.n_slots,
         n_cells_per_slot=dset.n_cells,
         slot_proof=slot_proof.merkle_path,
+        cell_data=cell_data,
+        merkle_paths=merkle_paths,
+    )
+
+
+# -- Goldilocks track --------------------------------------------------------
+
+GL_HASH_CODE = {"poseidon2": 0, "monolith": 1}
+
+
+def _gl_digests(flat: np.ndarray) -> list[tuple]:
+    a = flat.reshape(-1, 4)
+    return [tuple(int(v) for v in row) for row in a]
+
+
+def gl_permutation(hash_fun: str, state) -> list[int]:
+    lib = _load()
+    buf = np.array(list(state), dtype=np.uint64)
+    assert buf.shape == (12,)
+    lib.cspc_gl_permutation(_ptr64(buf), GL_HASH_CODE[hash_fun])
+    return [int(v) for v in buf]
+
+
+def gl_compress(hash_fun: str, key: int, x, y) -> tuple:
+    lib = _load()
+    xa = np.array(x, np.uint64)
+    ya = np.array(y, np.uint64)
+    out = np.zeros(4, np.uint64)
+    lib.cspc_gl_compress(_ptr64(out), _ptr64(xa), _ptr64(ya),
+                         key & MASK64, GL_HASH_CODE[hash_fun])
+    return tuple(int(v) for v in out)
+
+
+def gl_digest_felts(hash_fun: str, felts) -> tuple:
+    lib = _load()
+    xs = np.array(list(felts) or [0], np.uint64)
+    out = np.zeros(4, np.uint64)
+    n = len(felts) if hasattr(felts, "__len__") else len(xs)
+    lib.cspc_gl_digest_felts(_ptr64(out), _ptr64(xs), n, GL_HASH_CODE[hash_fun])
+    return tuple(int(v) for v in out)
+
+
+def gl_slot_tree_layers(hash_fun: str, n_cells: int, cell_size: int, seed: int,
+                        block_tree_depth: int) -> list[list[tuple]]:
+    """Threaded flat GL slot-tree layers for a fake-data slot (digests)."""
+    lib = _load()
+    total = 2 * n_cells - 1
+    out = np.empty((total, 4), np.uint64)
+    d = lib.cspc_gl_slot_tree(_ptr64(out), n_cells, cell_size, seed & MASK64,
+                              block_tree_depth, GL_HASH_CODE[hash_fun],
+                              _nthreads())
+    assert d >= 0, f"cspc_gl_slot_tree failed: {d}"
+    flat = _gl_digests(out)
+    layers, off, w = [], 0, n_cells
+    while w >= 1:
+        layers.append(flat[off:off + w])
+        off += w
+        if w == 1:
+            break
+        w //= 2
+    return layers
+
+
+def gl_sample_cell_index(hash_fun: str, entropy, slot_root, n_cells: int,
+                         counter: int) -> int:
+    lib = _load()
+    assert n_cells & (n_cells - 1) == 0
+    e = np.array(entropy, np.uint64)
+    r = np.array(slot_root, np.uint64)
+    return int(lib.cspc_gl_sample_cell_index(
+        _ptr64(e), _ptr64(r), n_cells, counter & MASK64,
+        GL_HASH_CODE[hash_fun]))
+
+
+def generate_proof_input_gl_native(hash_fun: str, glob, dset, slot_index: int,
+                                   entropy):
+    """`--backend=native` twin of oracle.goldilocks_pipeline
+    .generate_proof_input_gl: fake data, cell sponges and tree builds in
+    threaded C; path extraction and bundling in Python over the layers."""
+    from ..oracle.dataset import slot_cfg_from_dataset_cfg
+    from ..oracle.goldilocks import bytes_to_digests_gl, compress_fn
+    from ..oracle.goldilocks_pipeline import ProofInputGL, _pad_digest_path
+    from ..oracle.merkle import MerkleTree, extract_proof, merkle_tree
+    from ..oracle.slot import SlotTree, load_cell
+
+    if not available():
+        raise RuntimeError(f"native library unavailable: {build_error()}")
+    assert all(
+        slot_cfg_from_dataset_cfg(glob, dset, i).data_src.kind == "fake"
+        for i in range(dset.n_slots)
+    ), "native GL path currently supports the fake-data source"
+
+    slot_cfgs = [slot_cfg_from_dataset_cfg(glob, dset, i) for i in range(dset.n_slots)]
+
+    def build(cfg):
+        btd = cfg.cells_per_block.bit_length() - 1
+        flat = gl_slot_tree_layers(hash_fun, cfg.n_cells, cfg.cell_size,
+                                   cfg.data_src.seed, btd)
+        k = cfg.cells_per_block
+        n_blocks = cfg.n_cells // k
+        minis = []
+        for b in range(n_blocks):
+            mlayers = [flat[d][b * (k >> d):(b + 1) * (k >> d)]
+                       for d in range(btd + 1)]
+            minis.append(MerkleTree(mlayers))
+        big_layers = [flat[d] for d in range(btd, len(flat))]
+        if n_blocks == 1:
+            comp = compress_fn(hash_fun)
+            return SlotTree([MerkleTree(m.layers) for m in minis],
+                            merkle_tree([minis[0].root], comp))
+        return SlotTree(minis, MerkleTree(big_layers))
+
+    slot_trees = [build(c) for c in slot_cfgs]
+    slot_roots = [t.root for t in slot_trees]
+    comp = compress_fn(hash_fun)
+    dset_tree = merkle_tree(slot_roots, comp)
+    slot_proof = extract_proof(dset_tree, slot_index)
+
+    our_cfg, our_tree = slot_cfgs[slot_index], slot_trees[slot_index]
+    our_root = slot_roots[slot_index]
+    idxs = [gl_sample_cell_index(hash_fun, entropy, our_root, dset.n_cells, c)
+            for c in range(1, dset.n_samples + 1)]
+
+    k = our_cfg.cells_per_block
+    cell_data, merkle_paths = [], []
+    for idx in idxs:
+        block_idx, within = divmod(idx, k)
+        bot = extract_proof(our_tree.mini_trees[block_idx], within)
+        top = extract_proof(our_tree.big_tree, block_idx)
+        merkle_paths.append(
+            _pad_digest_path(bot.merkle_path + top.merkle_path, glob.max_depth)
+        )
+        cell_data.append(bytes_to_digests_gl(load_cell(our_cfg, idx)))
+
+    return ProofInputGL(
+        entropy=entropy,
+        data_set_root=dset_tree.root,
+        slot_index=slot_index,
+        slot_root=our_root,
+        n_slots_per_dataset=dset.n_slots,
+        n_cells_per_slot=dset.n_cells,
+        slot_proof=_pad_digest_path(slot_proof.merkle_path, glob.max_log2_n_slots),
         cell_data=cell_data,
         merkle_paths=merkle_paths,
     )

@@ -494,3 +494,7 @@ uint64_t cspc_sample_cell_index(const uint64_t entropy[4],
   cspc_sponge2(h, felts, 3);
   return h[0] & ((1ULL << log2_n_cells) - 1);
 }
+
+/* Goldilocks track (single compilation unit: shares fake_cell and
+ * parallel_for above). */
+#include "cspc_gl.c"

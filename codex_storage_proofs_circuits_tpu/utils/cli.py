@@ -175,6 +175,12 @@ def main(argv=None) -> int:
                 pi = generate_proof_input_gl_tpu(
                     args.hash, glob, dset, args.index, int_to_digest(args.entropy)
                 )
+            elif backend == "native":
+                from .. import native
+
+                pi = native.generate_proof_input_gl_native(
+                    args.hash, glob, dset, args.index, int_to_digest(args.entropy)
+                )
             elif backend == "oracle":
                 pi = generate_proof_input_gl(
                     args.hash, glob, dset, args.index, int_to_digest(args.entropy)

@@ -94,3 +94,74 @@ def test_generate_proof_input_end_to_end():
     dset = DataSetConfig(n_slots=3, n_cells=16, n_samples=4)
     assert (N.generate_proof_input_native(glob, dset, 1, 999)
             == generate_proof_input(glob, dset, 1, 999))
+
+
+# -- Goldilocks track --------------------------------------------------------
+
+
+@pytest.mark.parametrize("hf", ["poseidon2", "monolith"])
+def test_gl_permutation_random_states(hf):
+    import random
+
+    from codex_storage_proofs_circuits_tpu.oracle import goldilocks as OG
+
+    random.seed(3)
+    for _ in range(5):
+        s = [random.randrange(OG.P_GL) for _ in range(12)]
+        assert N.gl_permutation(hf, s) == OG.PERMUTATIONS[hf](s)
+
+
+@pytest.mark.parametrize("hf", ["poseidon2", "monolith"])
+def test_gl_digest_and_compress(hf):
+    from codex_storage_proofs_circuits_tpu.oracle import goldilocks as OG
+
+    for n in (0, 1, 7, 8, 9, 17):
+        felts = [(i * 104729 + 7) % OG.P_GL for i in range(n)]
+        assert N.gl_digest_felts(hf, felts) == OG.digest_felts(hf, felts)
+    x = tuple((i * 7919 + 1) % OG.P_GL for i in range(4))
+    y = tuple((i * 6277 + 5) % OG.P_GL for i in range(4))
+    for key in range(4):
+        assert N.gl_compress(hf, key, x, y) == OG.compress(hf, key, x, y)
+
+
+@pytest.mark.parametrize("hf", ["poseidon2", "monolith"])
+def test_gl_slot_tree_and_sampling(hf):
+    from codex_storage_proofs_circuits_tpu.oracle import goldilocks as OG
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks_pipeline import (
+        calc_slot_tree_gl,
+    )
+
+    cfg = S.SlotConfig(cell_size=64, block_size=256, n_cells=32, n_samples=1,
+                       data_src=S.DataSource("fake", seed=9))
+    btd = cfg.cells_per_block.bit_length() - 1
+    flat = N.gl_slot_tree_layers(hf, cfg.n_cells, cfg.cell_size,
+                                 cfg.data_src.seed, btd)
+    want = calc_slot_tree_gl(hf, cfg)
+    assert flat[0] == [d for t in want.mini_trees for d in t.layers[0]]
+    assert flat[-1][0] == want.root
+
+    ent = OG.int_to_digest(123456)
+    for c in range(1, 5):
+        assert N.gl_sample_cell_index(hf, ent, want.root, cfg.n_cells, c) == (
+            OG.sample_cell_index_gl(hf, ent, want.root, cfg.n_cells, c)
+        )
+
+
+@pytest.mark.parametrize("hf", ["poseidon2", "monolith"])
+def test_gl_generate_proof_input_end_to_end(hf):
+    from codex_storage_proofs_circuits_tpu.oracle.dataset import (
+        DataSetConfig,
+        GlobalConfig,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks import int_to_digest
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks_pipeline import (
+        generate_proof_input_gl,
+    )
+
+    glob = GlobalConfig(max_depth=16, max_log2_n_slots=4, cell_size=128,
+                        block_size=512)
+    dset = DataSetConfig(n_slots=3, n_cells=32, n_samples=3,
+                         data_src=S.DataSource("fake", seed=42))
+    want = generate_proof_input_gl(hf, glob, dset, 1, int_to_digest(777))
+    got = N.generate_proof_input_gl_native(hf, glob, dset, 1, int_to_digest(777))
+    assert got == want
