@@ -225,6 +225,15 @@ def _generate(backend: str, glob, dset, slot_index: int, entropy: int, verbose: 
 
         return generate_proof_input(glob, dset, slot_index, entropy)
     if backend == "tpu":
+        # large slots stream through the device in bounded-memory chunks;
+        # small ones batch every slot's cells in one build
+        slot_bytes = glob.cell_size * dset.n_cells
+        if slot_bytes >= (1 << 26) and dset.n_cells > glob.block_size // glob.cell_size:
+            from ..models.proof_input import generate_proof_input_streaming
+
+            if verbose:
+                print(f"tpu backend: streaming build ({slot_bytes >> 20} MB/slot)")
+            return generate_proof_input_streaming(glob, dset, slot_index, entropy)
         from ..models.proof_input import generate_proof_input_tpu
 
         return generate_proof_input_tpu(glob, dset, slot_index, entropy)

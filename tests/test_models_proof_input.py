@@ -102,3 +102,26 @@ def test_cli_end_to_end(tmp_path):
     assert pi == want
     text = open(circ).read()
     assert "SampleAndProve" in text and "entropy" in text
+
+
+def test_streaming_proof_input_matches_oracle():
+    """Large-slot streaming path == oracle on a small multi-chunk config."""
+    from codex_storage_proofs_circuits_tpu.models.proof_input import (
+        generate_proof_input_streaming,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.dataset import (
+        DataSetConfig,
+        GlobalConfig,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.sampling import (
+        generate_proof_input,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.slot import DataSource
+
+    glob = GlobalConfig(max_depth=16, max_log2_n_slots=4, cell_size=64,
+                        block_size=256)
+    dset = DataSetConfig(n_slots=3, n_cells=32, n_samples=4,
+                         data_src=DataSource("fake", seed=5))
+    want = generate_proof_input(glob, dset, 1, 424242)
+    got = generate_proof_input_streaming(glob, dset, 1, 424242, chunk_cells=8)
+    assert got == want
