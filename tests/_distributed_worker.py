@@ -81,3 +81,35 @@ for s in range(dset.n_slots):
         assert got == calc_slot_tree(cfgs[s]).root
 
 print(f"DSET_ROOT_OK {hex(root)}", flush=True)
+
+# Goldilocks twin over the same mesh (the reference's default field)
+from codex_storage_proofs_circuits_tpu.models.gl_hashing import encode_cells_gl
+from codex_storage_proofs_circuits_tpu.oracle.goldilocks import compress_fn
+from codex_storage_proofs_circuits_tpu.oracle.goldilocks_pipeline import (
+    calc_slot_tree_gl,
+)
+from codex_storage_proofs_circuits_tpu.parallel.gl_tree import (
+    sharded_gl_dataset_build,
+)
+
+glocal = np.stack(
+    [
+        np.asarray(jax.device_get(
+            encode_cells_gl(D.load_slot_cells(cfgs[min(i, dset.n_slots - 1)]))
+        ))
+        for i in range(lo, hi)
+    ]
+)
+gfelts = DD.make_global_cell_array(mesh, glocal, pad)
+_, gtops, gdlayers = sharded_gl_dataset_build(
+    gfelts, mesh, "poseidon2", glob.block_tree_depth, n_slots=dset.n_slots
+)
+garr = np.asarray(jax.device_get(gdlayers[-1]))
+groot = tuple(
+    int(sum(int(garr[j, l, 0]) << (16 * l) for l in range(4))) for j in range(4)
+)
+goroot = merkle_tree(
+    [calc_slot_tree_gl("poseidon2", c).root for c in cfgs], compress_fn("poseidon2")
+).root
+assert groot == goroot, (groot, goroot)
+print(f"GL_DSET_ROOT_OK {groot[0]:#x}", flush=True)

@@ -56,6 +56,13 @@ def test_two_process_dataset_root():
     for rc, out, err in outs:
         assert rc == 0, f"worker failed rc={rc}\nstdout:\n{out}\nstderr:\n{err[-4000:]}"
         assert "DSET_ROOT_OK" in out, out
-    # both processes computed the same replicated root
-    roots = {line.split()[1] for rc, out, _ in outs for line in out.splitlines() if line.startswith("DSET_ROOT_OK")}
-    assert len(roots) == 1, roots
+        assert "GL_DSET_ROOT_OK" in out, out
+    # both processes computed the same replicated roots
+    for marker in ("DSET_ROOT_OK", "GL_DSET_ROOT_OK"):
+        roots = {
+            line.split()[1]
+            for rc, out, _ in outs
+            for line in out.splitlines()
+            if line.startswith(marker)
+        }
+        assert len(roots) == 1, (marker, roots)
