@@ -46,6 +46,17 @@ from codex_storage_proofs_circuits_tpu.parallel import sharded_dataset_build
 assert jax.process_count() == nproc, jax.process_count()
 assert len(jax.devices()) == 4 * nproc
 
+
+def _barrier(name: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service barrier: keeps both processes' first collective
+    within gloo's 30 s context-init window even when their XLA compiles
+    finish minutes apart (observed under full-suite CPU contention)."""
+    from jax._src import distributed as _dist
+
+    client = _dist.global_state.client
+    if client is not None:
+        client.wait_at_barrier(name, timeout_in_ms=timeout_ms)
+
 glob = GlobalConfig(max_depth=32, max_log2_n_slots=8, cell_size=64, block_size=128)
 dset = DataSetConfig(
     n_slots=3, n_cells=16, n_samples=2, data_src=DataSource("fake", seed=5)
@@ -64,6 +75,33 @@ local = np.stack(
 )
 felts = DD.make_global_cell_array(mesh, local, pad)
 
+# Establish the gloo contexts for both mesh axes NOW, while the two
+# processes are still aligned: a tiny all_gather over each axis compiles in
+# seconds, so their first executions land well inside gloo's 30 s
+# context-init window.  The big builds afterwards can then drift freely.
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from codex_storage_proofs_circuits_tpu.parallel.tree import shard_map
+
+_barrier("pre_warm")
+_tiny = jax.make_array_from_callback(
+    (mesh.shape["slots"], mesh.shape["cells"]),
+    NamedSharding(mesh, P("slots", "cells")),
+    lambda idx: np.ones((1, 1), np.uint32),
+)
+_warm = shard_map(
+    lambda x: jax.lax.all_gather(
+        jax.lax.all_gather(x, "cells", axis=1, tiled=True),
+        "slots", axis=0, tiled=True,
+    ),
+    mesh=mesh,
+    in_specs=(P("slots", "cells"),),
+    out_specs=P(None, None),
+    check_vma=False,
+)
+np.asarray(jax.device_get(jax.jit(_warm)(_tiny)))
+
+_barrier("pre_bn254_build")
 locs, tops, dlayers = sharded_dataset_build(
     felts, mesh, glob.block_tree_depth, n_slots=dset.n_slots
 )
@@ -101,6 +139,7 @@ glocal = np.stack(
     ]
 )
 gfelts = DD.make_global_cell_array(mesh, glocal, pad)
+_barrier("pre_gl_build")
 _, gtops, gdlayers = sharded_gl_dataset_build(
     gfelts, mesh, "poseidon2", glob.block_tree_depth, n_slots=dset.n_slots
 )
