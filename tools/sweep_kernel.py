@@ -28,9 +28,9 @@ states = rng.integers(0, 1 << 16, size=(3, L.NL, BATCH), dtype=np.uint32)
 states[:, L.NL - 1, :] &= 0x2FFF
 x = jnp.asarray(states)
 
-for tile in (256, 512, 1024, 2048, 4096):
+for tile, nc in ((256, 1), (512, 1), (1024, 1), (512, 2), (1024, 2), (2048, 4)):
     try:
-        perm = lambda s: P2K.permutation(s, batch_tile=tile)
+        perm = lambda s: P2K.permutation(s, batch_tile=tile, n_chains=nc)
         t0 = time.perf_counter()
         jax.device_get(perm(x)[0, 0, :1])
         compile_s = time.perf_counter() - t0
@@ -42,6 +42,6 @@ for tile in (256, 512, 1024, 2048, 4096):
                 y = perm(y)
             jax.device_get(y[0, 0, :1])
             best = min(best, (time.perf_counter() - t0 - SYNC) / ITERS)
-        print(f"tile {tile:5d}: {BATCH/best/1e6:7.2f} M perm/s  (compile {compile_s:.0f}s)", flush=True)
+        print(f"tile {tile:5d} x{nc}: {BATCH/best/1e6:7.2f} M perm/s  (compile {compile_s:.0f}s)", flush=True)
     except Exception as e:
-        print(f"tile {tile:5d}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
+        print(f"tile {tile:5d} x{nc}: FAILED {type(e).__name__}: {str(e)[:200]}", flush=True)
