@@ -199,3 +199,25 @@ def build_slot_trees_gl(hash_fun: str, cfgs: list[SlotConfig]) -> list[SlotTree]
         big = MerkleTree(big_layers)
         trees.append(SlotTree(minis, big))
     return trees
+
+
+def extract_gl_paths_device(
+    layers: list[jnp.ndarray], indices: jnp.ndarray, max_depth: int
+) -> jnp.ndarray:
+    """Batched GL Merkle-path gather from a flat digest layer stack.
+
+    layers[d]: (4, 4, W >> d) with W a power of two; indices: (S,) int32.
+    Returns (max_depth, 4, 4, S) sibling digests, zero-padded beyond the
+    tree depth (GL twin of models/hashing.extract_paths_device).
+    """
+    s = indices.shape[0]
+    depth = len(layers) - 1
+    idx = indices.astype(jnp.int32)
+    out = []
+    for d in range(max_depth):
+        if d < depth and layers[d].shape[2] > 1:
+            sib = jnp.take(layers[d], (idx >> d) ^ 1, axis=2)
+        else:
+            sib = jnp.zeros((FELTS_PER_DIGEST, NL, s), jnp.uint32)
+        out.append(sib)
+    return jnp.stack(out)

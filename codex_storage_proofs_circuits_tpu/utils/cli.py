@@ -170,11 +170,28 @@ def main(argv=None) -> int:
                 if args.verbose:
                     print(f"auto backend -> {backend}")
             if backend == "tpu":
-                from ..models.gl_proof_input import generate_proof_input_gl_tpu
+                slot_bytes = glob.cell_size * dset.n_cells
+                if (
+                    slot_bytes >= (1 << 26)
+                    and dset.n_cells > glob.block_size // glob.cell_size
+                ):
+                    from ..models.gl_proof_input import (
+                        generate_proof_input_gl_streaming,
+                    )
 
-                pi = generate_proof_input_gl_tpu(
-                    args.hash, glob, dset, args.index, int_to_digest(args.entropy)
-                )
+                    if args.verbose:
+                        print(
+                            f"tpu backend: streaming build ({slot_bytes >> 20} MB/slot)"
+                        )
+                    pi = generate_proof_input_gl_streaming(
+                        args.hash, glob, dset, args.index, int_to_digest(args.entropy)
+                    )
+                else:
+                    from ..models.gl_proof_input import generate_proof_input_gl_tpu
+
+                    pi = generate_proof_input_gl_tpu(
+                        args.hash, glob, dset, args.index, int_to_digest(args.entropy)
+                    )
             elif backend == "native":
                 from .. import native
 

@@ -105,3 +105,27 @@ def test_streaming_gl_matches_oracle():
     )
     got = streaming_slot_root_gl(cfg, chunk_cells=16)
     assert got == calc_slot_tree_gl("poseidon2", cfg).root
+
+
+def test_streaming_gl_proof_input_matches_oracle():
+    from codex_storage_proofs_circuits_tpu.models.gl_proof_input import (
+        generate_proof_input_gl_streaming,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.dataset import (
+        DataSetConfig,
+        GlobalConfig,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks import int_to_digest
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks_pipeline import (
+        generate_proof_input_gl,
+    )
+
+    glob = GlobalConfig(max_depth=16, max_log2_n_slots=4, cell_size=64,
+                        block_size=256)
+    dset = DataSetConfig(n_slots=3, n_cells=32, n_samples=4,
+                         data_src=DataSource("fake", seed=5))
+    want = generate_proof_input_gl("poseidon2", glob, dset, 1, int_to_digest(99))
+    got = generate_proof_input_gl_streaming(
+        "poseidon2", glob, dset, 1, int_to_digest(99), chunk_cells=8
+    )
+    assert got == want
