@@ -65,7 +65,9 @@ def check_circuit_semantics(
         raise CircuitCheckError("slotProof not padded to maxLog2NSlots")
 
     # (1) dataset-level inclusion (sample_cells.circom:95-109)
-    ds_depth = _ceiling_log2(n_slots)
+    # singleton-dataset fixup: the circuit forces one bottom-odd step even
+    # when ceilingLog2(nSlots) == 0 (merkle.circom:53-62 maskBitsCorrected)
+    ds_depth = max(1, _ceiling_log2(n_slots))
     ds_proof = MerkleProof(
         pi.slot_index, pi.slot_root, list(pi.slot_proof[:ds_depth]), n_slots
     )

@@ -130,7 +130,8 @@ def check_proof_input_gl(hash_fun: str, glob: GlobalConfig, pi: ProofInputGL) ->
     log2n = (n_cells - 1).bit_length()
     btd = glob.block_tree_depth
 
-    ds_depth = (pi.n_slots_per_dataset - 1).bit_length()
+    # singleton-dataset fixup (merkle.circom:53-62): at least one step
+    ds_depth = max(1, (pi.n_slots_per_dataset - 1).bit_length())
     ds = MerkleProof(pi.slot_index, pi.slot_root,
                      list(pi.slot_proof[:ds_depth]), pi.n_slots_per_dataset)
     assert reconstruct_root(ds, comp) == pi.data_set_root, "dataset root mismatch"

@@ -125,3 +125,34 @@ def test_streaming_proof_input_matches_oracle():
     want = generate_proof_input(glob, dset, 1, 424242)
     got = generate_proof_input_streaming(glob, dset, 1, 424242, chunk_cells=8)
     assert got == want
+
+
+def test_singleton_dataset_check():
+    """n_slots=1: the dataset tree is a single bottom-odd compression and
+    the checkers must apply the circuit's maskBitsCorrected[0]=1 fixup
+    (merkle.circom:53-62) — regression for a round-3 bug."""
+    from codex_storage_proofs_circuits_tpu.models.circuit import (
+        check_circuit_semantics,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.dataset import (
+        DataSetConfig,
+        GlobalConfig,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks import int_to_digest
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks_pipeline import (
+        check_proof_input_gl,
+        generate_proof_input_gl,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.sampling import (
+        generate_proof_input,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.slot import DataSource
+
+    glob = GlobalConfig(max_depth=16, max_log2_n_slots=4, cell_size=64,
+                        block_size=256)
+    dset = DataSetConfig(n_slots=1, n_cells=32, n_samples=2,
+                         data_src=DataSource("fake", seed=5))
+    pi = generate_proof_input(glob, dset, 0, 7)
+    check_circuit_semantics(glob, dset, pi)
+    pig = generate_proof_input_gl("poseidon2", glob, dset, 0, int_to_digest(7))
+    check_proof_input_gl("poseidon2", glob, pig)
