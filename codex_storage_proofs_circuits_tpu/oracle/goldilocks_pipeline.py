@@ -69,7 +69,10 @@ def _pad_digest_path(path: list, new_len: int) -> list:
     assert len(path) <= new_len
     from .goldilocks import ZERO_DIGEST
 
-    return list(path) + [ZERO_DIGEST] * (new_len - len(path))
+    # odd-node siblings come out of the generic tree as the int-0 sentinel
+    # (oracle/merkle.py extract_proof); normalize them to the zero digest
+    norm = [ZERO_DIGEST if d == 0 else d for d in path]
+    return norm + [ZERO_DIGEST] * (new_len - len(norm))
 
 
 def generate_proof_input_gl(

@@ -152,3 +152,27 @@ def test_check_rejects_tampered_input():
     pi.merkle_paths[0][0] = (1, 2, 3, 4)
     with pytest.raises(AssertionError):
         check_proof_input_gl("poseidon2", glob, pi)
+
+
+def test_gl_export_singleton_and_odd_paths(tmp_path):
+    """Odd-node siblings (int-0 sentinel) must export as zero digests —
+    regression: singleton-dataset slot_proof crashed the JSON writer."""
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks_pipeline import (
+        export_proof_input_gl,
+        generate_proof_input_gl,
+    )
+    from codex_storage_proofs_circuits_tpu.oracle.slot import DataSource
+
+    glob = GlobalConfig(max_depth=16, max_log2_n_slots=4, cell_size=64,
+                        block_size=256)
+    for ns, idx in ((1, 0), (5, 4)):
+        dset = DataSetConfig(n_slots=ns, n_cells=32, n_samples=2,
+                             data_src=DataSource("fake", seed=5))
+        pi = generate_proof_input_gl("poseidon2", glob, dset, idx,
+                                     OG.int_to_digest(7))
+        out = tmp_path / f"gl_{ns}.json"
+        export_proof_input_gl(str(out), pi)
+        import json
+
+        d = json.loads(out.read_text())
+        assert all(isinstance(q, list) and len(q) == 4 for q in d["slotProof"])
