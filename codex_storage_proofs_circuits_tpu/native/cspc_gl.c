@@ -122,8 +122,20 @@ static inline uint64_t gl_bar64(uint64_t x) {
   return out >= GL_P ? out - GL_P : out; /* oracle: % P (value < 2^64) */
 }
 
+/* Monolith Concrete: Plonky2-compatible MDS matmul.  Coefficients are
+ * <= 41 and sum to 264, so the u128 accumulator stays < 2^73. */
+static void gl_concrete(uint64_t s[GL_T]) {
+  uint64_t out[GL_T];
+  for (int r = 0; r < GL_T; r++) {
+    u128 acc = 0;
+    for (int c = 0; c < GL_T; c++) acc += (u128)GL_MONO_CONCRETE[r][c] * s[c];
+    out[r] = gl_reduce128(acc);
+  }
+  for (int i = 0; i < GL_T; i++) s[i] = out[i];
+}
+
 static void gl_mono_permute(uint64_t s[GL_T]) {
-  gl_external_linear(s); /* initial Concrete */
+  gl_concrete(s); /* initial Concrete */
   for (int r = 0; r < GL_MONO_ROUNDS; r++) {
     for (int i = 0; i < GL_MONO_BARS; i++) s[i] = gl_bar64(s[i]);
     /* Bricks: out_i = x_i + x_{i-1}^2 on original values */
@@ -133,7 +145,7 @@ static void gl_mono_permute(uint64_t s[GL_T]) {
       s[i] = gl_addf(cur, gl_mul(prev, prev));
       prev = cur;
     }
-    gl_external_linear(s);
+    gl_concrete(s);
     for (int i = 0; i < GL_T; i++) s[i] = gl_addf(s[i], GL_MONO_RC[r][i]);
   }
 }

@@ -175,6 +175,30 @@ def external_linear(f4):
     return fold_carry(limbs, c)
 
 
+MONO_CIRC = G.MONOLITH_CONCRETE_CIRC
+MONO_DIAG0 = G.MONOLITH_CONCRETE_DIAG[0]  # +8 on row 0 only
+
+
+def concrete(f4):
+    """Monolith Concrete layer: the Plonky2-compatible MDS circulant
+    (fields/goldilocks.py MONOLITH_CONCRETE) on loose 12-lane states.
+    out[r] = sum_j CIRC[j] * x[(r+j) mod 12], plus DIAG[0]*x[0] on row 0.
+    sum(CIRC) + DIAG[0] = 264, so columns stay < 2^25 before the ripple."""
+    out_cols = [None] * NL
+    for k in range(NL):
+        x = f4[k]  # (12, B)
+        acc = None
+        for j in range(T):
+            rolled = x if j == 0 else jnp.concatenate([x[j:], x[:j]], axis=0)
+            term = rolled * U32(MONO_CIRC[j])
+            acc = term if acc is None else acc + term
+        d0 = x[0:1] * U32(MONO_DIAG0)
+        acc = jnp.concatenate([acc[0:1] + d0, acc[1:]], axis=0)
+        out_cols[k] = acc
+    limbs, c = ripple(out_cols, NL)
+    return fold_carry(limbs, c)
+
+
 def lane_sum(x):
     """Sum the 12 lane rows -> (1, B) (manual slice tree)."""
     s = x[0:6] + x[6:12]

@@ -326,12 +326,12 @@ def monolith_permutation(state: jnp.ndarray) -> jnp.ndarray:
         zero1 = jnp.zeros_like(f4[0][0:1])
         shifted = [jnp.concatenate([zero1, sq[k][:-1]], axis=0) for k in range(NL)]
         f4 = C.add(f4, shifted)
-        # Concrete + round constants
-        f4 = C.external_linear(f4)
+        # Concrete (Plonky2-compatible circulant) + round constants
+        f4 = C.concrete(f4)
         f4 = C.add(f4, [rc_r[k] for k in range(NL)])
         return tuple(f4), None
 
-    f4 = tuple(C.external_linear([state[:, k, :] for k in range(NL)]))  # initial Concrete
+    f4 = tuple(C.concrete([state[:, k, :] for k in range(NL)]))  # initial Concrete
     f4, _ = jax.lax.scan(body, f4, rc)
     f4 = C.canon(list(f4))
     return jnp.stack(f4, axis=1)

@@ -165,7 +165,7 @@ def _mono_core_gl(rc, f4):
     """Full unrolled 6-round Monolith-64 permutation, loose in/out
     (structure: oracle/goldilocks.py monolith_permutation)."""
     nb = G.MONOLITH_BARS
-    f4 = _external_linear(f4)  # initial Concrete
+    f4 = C.concrete(f4)  # initial Concrete (Plonky2-compatible circulant)
     for r in range(G.MONOLITH_ROUNDS):
         # Bars on the first nb lanes (bytewise map needs canonical input;
         # raw output < 2^64 is reduced like the oracle's % P_GL)
@@ -178,7 +178,7 @@ def _mono_core_gl(rc, f4):
         shifted = [jnp.concatenate([zero1, sq[k][:-1]], axis=0) for k in range(NL)]
         f4 = _add(f4, shifted)
         # Concrete + round constants
-        f4 = _external_linear(f4)
+        f4 = C.concrete(f4)
         f4 = _add_rc(f4, rc, MONO_RC_COL0 + r)
     return f4
 

@@ -31,6 +31,7 @@ from ..fields.goldilocks import (
     MONOLITH_RC,
     MONOLITH_ROUNDS,
     MONOLITH_BARS,
+    MONOLITH_CONCRETE,
 )
 
 Felt = int
@@ -123,14 +124,23 @@ def _bricks(state: list[int]) -> list[int]:
     return out
 
 
+def _concrete(state: list[int]) -> list[int]:
+    """Monolith Concrete: the Plonky2-compatible 12x12 MDS matmul
+    (fields/goldilocks.py MONOLITH_CONCRETE, small integer entries)."""
+    return [
+        sum(MONOLITH_CONCRETE[r][c] * state[c] for c in range(T)) % P_GL
+        for r in range(T)
+    ]
+
+
 def monolith_permutation(state: Sequence[int]) -> list[int]:
     s = [v % P_GL for v in state]
     assert len(s) == T
-    s = _external_linear(s)  # initial Concrete
+    s = _concrete(s)  # initial Concrete
     for r in range(MONOLITH_ROUNDS):
         s = [_bar64(s[i]) % P_GL if i < MONOLITH_BARS else s[i] for i in range(T)]
         s = _bricks(s)
-        s = _external_linear(s)  # Concrete
+        s = _concrete(s)
         s = [(v + c) % P_GL for v, c in zip(s, MONOLITH_RC[r])]
     return s
 

@@ -12,11 +12,13 @@ hash instances:
   merkle_felts   : root of [intToDigest(1..n)]      n = 1..40 (odd/even/
                    singleton layer shapes)
 
-NOTE on provenance: the upstream `nim-goldilocks-hash` pin is not vendored
-in the reference and this environment has no network access, so the GL
-instance constants are the repo's own deterministic derivation
-(fields/goldilocks.py); these vectors freeze composition + constants
-against regressions, they are NOT cross-library anchors.
+Provenance: the permutation constants are the canonical published instances
+(fields/goldilocks.py): Poseidon2-Goldilocks t=12 via the canonical
+Grain-LFSR procedure anchored against the published HorizenLabs/Plonky3
+tables, and Monolith-64 per its paper's SHAKE-128 procedure with the
+Plonky2-compatible Concrete matrix.  These vectors freeze the sponge/
+Merkle composition (the reference's nim-goldilocks-hash call surface) on
+top of those canonical permutations.
 """
 
 import json
