@@ -203,11 +203,18 @@ def _exact_canonical(x, p):
     return jnp.where(no_borrow == 1, diff, x)
 
 
-def _perm_core(rc, p, negp, x, y, z):
+def _perm_core(rc, p, negp, x, y, z, rounds=(4, 56, 4)):
     """Full unrolled 64-round permutation on loose values.  x, y, z:
     (NL, BT) Montgomery limb planes, column-space values < 5.2P.  Returns
     column forms < 1.001P (call _exact_canonical for strict < P output).
-    Chained invocations (sponges, tree levels) stay loose throughout."""
+    Chained invocations (sponges, tree levels) stay loose throughout.
+
+    `rounds=(ext_first, internal, ext_last)` is a test hook: the production
+    schedule (4, 56, 4) is always used by the public API; reduced schedules
+    keep the same round-constant columns for the rounds they run, letting
+    the interpret-mode CPU tests compile the *same kernel machinery* in
+    seconds instead of the ~20-minute fully-unrolled graph
+    (tests/test_pallas_kernel.py)."""
 
     def finish(cols):
         # column value < 5.28P -> column form < 1.001P
@@ -242,17 +249,20 @@ def _perm_core(rc, p, negp, x, y, z):
         u = sx + y + z
         return finish(u + sx), finish(u + y), finish(u + z + z)
 
-    for k in range(4):
+    re1, ri, re2 = rounds
+    for k in range(re1):
         x, y, z = ext_round(x, y, z, 3 * k)
-    for k in range(56):
+    for k in range(ri):
         x, y, z = int_round(x, y, z, 12 + k)
-    for k in range(4, 8):
-        x, y, z = ext_round(x, y, z, 68 + 3 * (k - 4))
+    for k in range(re2):
+        x, y, z = ext_round(x, y, z, 68 + 3 * k)
 
     return x, y, z
 
 
-def _perm_kernel(rc_ref, cp_ref, state_ref, out_ref, *, n_chains: int = 1):
+def _perm_kernel(
+    rc_ref, cp_ref, state_ref, out_ref, *, n_chains: int = 1, rounds=(4, 56, 4)
+):
     bt = state_ref.shape[1]
     cw = bt // n_chains  # columns per chain
 
@@ -271,13 +281,13 @@ def _perm_kernel(rc_ref, cp_ref, state_ref, out_ref, *, n_chains: int = 1):
         x = state_ref[0:NL, lo : lo + cw]
         y = state_ref[NL : 2 * NL, lo : lo + cw]
         z = state_ref[2 * NL : 3 * NL, lo : lo + cw]
-        x, y, z = _perm_core(rc, p, negp, x, y, z)
+        x, y, z = _perm_core(rc, p, negp, x, y, z, rounds=rounds)
         out_ref[0:NL, lo : lo + cw] = _exact_canonical(x, p)
         out_ref[NL : 2 * NL, lo : lo + cw] = _exact_canonical(y, p)
         out_ref[2 * NL : 3 * NL, lo : lo + cw] = _exact_canonical(z, p)
 
 
-def _sponge2_kernel(rc_ref, cp_ref, blocks_ref, out_ref):
+def _sponge2_kernel(rc_ref, cp_ref, blocks_ref, out_ref, *, rounds=(4, 56, 4)):
     """Fused rate-2 sponge: all absorb rounds chained in-kernel, state loose
     between permutations (column forms < 1.001P; absorb adds keep entry
     values < 2.01P, inside the 5.2P entry contract of _perm_core)."""
@@ -297,7 +307,7 @@ def _sponge2_kernel(rc_ref, cp_ref, blocks_ref, out_ref):
         blk = blocks_ref[pl.ds(pl.multiple_of(b * 2 * NL, 2 * NL), 2 * NL), :]
         x = x + blk[0:NL]
         y = y + blk[NL : 2 * NL]
-        return _perm_core(rc, p, negp, x, y, z)
+        return _perm_core(rc, p, negp, x, y, z, rounds=rounds)
 
     x, _y, _z = jax.lax.fori_loop(0, nb, body, (zero, zero, iv))
     out_ref[:] = _exact_canonical(x, p)
@@ -313,15 +323,21 @@ def sponge2_fits(nblocks: int, batch_tile: int = 512) -> bool:
     return 2 * nblocks * 2 * NL * batch_tile * 4 <= _SPONGE_VMEM_BUDGET
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret"))
-def sponge2_absorb(
-    blocks: jnp.ndarray, batch_tile: int = 512, interpret: bool = False
+def _sponge2_absorb_impl(
+    blocks: jnp.ndarray,
+    batch_tile: int = 512,
+    interpret: bool = False,
+    rounds: tuple = (4, 56, 4),
 ) -> jnp.ndarray:
     """Fused-kernel rate-2 sponge over pre-padded Montgomery blocks.
 
     blocks: (nblocks, 2, NL, B); returns the squeezed first lane (NL, B),
     exact canonical Montgomery.  Semantics identical to
     ops.poseidon2_jnp.sponge2_absorb (poseidon2_sponge.circom:28-99).
+
+    Unjitted implementation: tests call this directly so interpret mode
+    executes eagerly (per-op dispatch) instead of paying a monolithic
+    XLA:CPU compile of the interpreter graph.
     """
     nb, two, nl, b = blocks.shape
     assert two == 2 and nl == NL
@@ -329,7 +345,7 @@ def sponge2_absorb(
     flat = blocks.reshape(nb * 2 * NL, b)
     cp = np.repeat(CONST_PLANES.reshape(2 * NL, 1), batch_tile, axis=1)
     return pl.pallas_call(
-        _sponge2_kernel,
+        functools.partial(_sponge2_kernel, rounds=rounds),
         out_shape=jax.ShapeDtypeStruct((NL, b), jnp.uint32),
         grid=(b // batch_tile,),
         in_specs=[
@@ -344,14 +360,20 @@ def sponge2_absorb(
     )(jnp.asarray(RC_TABLE), jnp.asarray(cp), flat)
 
 
-@functools.partial(jax.jit, static_argnames=("batch_tile", "interpret", "n_chains"))
-def permutation(
+sponge2_absorb = functools.partial(
+    jax.jit, static_argnames=("batch_tile", "interpret", "rounds")
+)(_sponge2_absorb_impl)
+
+
+def _permutation_impl(
     state: jnp.ndarray,
     batch_tile: int = 512,
     interpret: bool = False,
     n_chains: int = 1,
+    rounds: tuple = (4, 56, 4),
 ) -> jnp.ndarray:
-    """Batched permutation via the fused kernel.
+    """Batched permutation via the fused kernel (unjitted implementation —
+    see _sponge2_absorb_impl for why tests call this directly).
 
     state: (3, NL, B) uint32 canonical Montgomery-form limb planes (< P);
     B must be a multiple of batch_tile.  Output canonical Montgomery < P.
@@ -365,7 +387,7 @@ def permutation(
     grid = (b // batch_tile,)
     cp = np.repeat(CONST_PLANES.reshape(2 * NL, 1), batch_tile, axis=1)
     out = pl.pallas_call(
-        functools.partial(_perm_kernel, n_chains=n_chains),
+        functools.partial(_perm_kernel, n_chains=n_chains, rounds=rounds),
         out_shape=jax.ShapeDtypeStruct((3 * NL, b), jnp.uint32),
         grid=grid,
         in_specs=[
@@ -379,6 +401,11 @@ def permutation(
         interpret=interpret,
     )(jnp.asarray(RC_TABLE), jnp.asarray(cp), flat)
     return out.reshape(3, NL, b)
+
+
+permutation = functools.partial(
+    jax.jit, static_argnames=("batch_tile", "interpret", "n_chains", "rounds")
+)(_permutation_impl)
 
 
 def compress(x: jnp.ndarray, y: jnp.ndarray, key_mont: jnp.ndarray, **kw) -> jnp.ndarray:
