@@ -84,3 +84,23 @@ def test_sharded_gl_dataset_build_matches_oracle(mesh_2x4):
         got_leaves = _digests(locs[0][s])
         want_leaves = [v for t in otrees[s].mini_trees for v in t.layers[0]]
         assert got_leaves == want_leaves
+
+
+def test_sharded_gl_proof_input_matches_oracle(mesh_2x4):
+    """Full GL mesh pipeline: sharded build -> on-device sampling ->
+    collective path/cell gathers -> ProofInputGL; bit-exact vs the oracle
+    and accepted by the GL semantics checker (VERDICT r3 #4)."""
+    from codex_storage_proofs_circuits_tpu.parallel import sharded_gl_proof_input
+    from codex_storage_proofs_circuits_tpu.oracle.goldilocks_pipeline import (
+        check_proof_input_gl,
+        generate_proof_input_gl,
+    )
+
+    glob = GlobalConfig(max_depth=16, max_log2_n_slots=5, cell_size=64, block_size=128)
+    dset = DataSetConfig(n_slots=3, n_cells=16, n_samples=4,
+                         data_src=DataSource("fake", seed=12345))
+    ent = (0xDEADBEEF, 1, 2, 3)
+
+    pig = sharded_gl_proof_input(HASH, glob, dset, 1, ent, mesh_2x4)
+    assert pig == generate_proof_input_gl(HASH, glob, dset, 1, ent)
+    check_proof_input_gl(HASH, glob, pig)

@@ -83,3 +83,25 @@ def test_sharded_dataset_build_matches_oracle(eight_devices):
     # full dataset tree layer check (odd width: 3 -> 2 -> 1)
     for d, lyr in enumerate(odset.layers):
         assert _ints(dlayers[d]) == [int(v) for v in lyr]
+
+
+def test_sharded_proof_input_matches_oracle(eight_devices):
+    """Full mesh pipeline: sharded dataset build -> on-device sampling ->
+    collective path/cell gathers -> ProofInput; bit-exact vs the sequential
+    oracle AND accepted by the witness evaluator (VERDICT r3 #4)."""
+    from codex_storage_proofs_circuits_tpu.parallel import sharded_proof_input
+    from codex_storage_proofs_circuits_tpu.oracle.sampling import generate_proof_input
+    from codex_storage_proofs_circuits_tpu.models.witness import (
+        generate_witness,
+        evaluate_witness,
+    )
+
+    glob = GlobalConfig(max_depth=16, max_log2_n_slots=5, cell_size=64, block_size=128)
+    dset = DataSetConfig(n_slots=3, n_cells=16, n_samples=4,
+                         data_src=DataSource("fake", seed=12345))
+    mesh = make_mesh(n_cells_shards=4, n_slot_shards=2)
+    entropy = 0xDEADBEEF
+
+    pi = sharded_proof_input(glob, dset, 1, entropy, mesh)
+    assert pi == generate_proof_input(glob, dset, 1, entropy)
+    evaluate_witness(glob, pi, generate_witness(glob, pi))
