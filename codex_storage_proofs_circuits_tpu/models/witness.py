@@ -56,13 +56,20 @@ class ConstraintError(AssertionError):
 
 @dataclass
 class WitnessBundle:
-    """A named witness assignment plus its unconstrained-signal set."""
+    """A named witness assignment plus its unconstrained-signal set.
+
+    `p` is the proving-field modulus: BN254 r by default, or a small test
+    prime (65537) for exhaustive template enumeration — the analogue of the
+    reference harness's pluggable proving field (test/Main.hs:22-44,
+    circuit/lib/extract_bits.circom:50-73).
+    """
 
     values: dict[str, int] = field(default_factory=dict)
     free: set[str] = field(default_factory=set)
+    p: int = P
 
     def set(self, name: str, v: int, free: bool = False) -> int:
-        v %= P
+        v %= self.p
         assert name not in self.values, f"duplicate signal {name}"
         self.values[name] = v
         if free:
@@ -85,17 +92,22 @@ class _Ctx:
     def __init__(self, w: WitnessBundle, gen: bool):
         self.w = w
         self.gen = gen
+        self.p = w.p
+        # field size in bits (ExtractLowerBits decomposition width):
+        # 254 for BN254 r, 17 for the 65537 test field
+        # (extract_bits.circom:27 vs :50-73)
+        self.n_field_bits = self.p.bit_length()
 
     def hint(self, name: str, value_fn, free: bool = False) -> int:
         """A `<--` assignment: computed in gen mode, read back in eval mode."""
         if self.gen:
-            return self.w.set(name, value_fn() % P, free)
+            return self.w.set(name, value_fn() % self.p, free)
         return self.w[name]
 
     def assign(self, name: str, value: int) -> int:
         """A `<==` assignment: constrained equal, so store in gen mode and
         check in eval mode."""
-        value %= P
+        value %= self.p
         if self.gen:
             return self.w.set(name, value)
         got = self.w[name]
@@ -105,8 +117,8 @@ class _Ctx:
 
     def require(self, what: str, a: int, b: int = 0) -> None:
         """A bare `===` constraint."""
-        if not self.gen and (a - b) % P != 0:
-            raise ConstraintError(f"{what}: {a % P} !== {b % P}")
+        if not self.gen and (a - b) % self.p != 0:
+            raise ConstraintError(f"{what}: {a % self.p} !== {b % self.p}")
 
 
 def _to_bits(c: _Ctx, pfx: str, inp: int, n: int) -> list[int]:
@@ -114,48 +126,52 @@ def _to_bits(c: _Ctx, pfx: str, inp: int, n: int) -> list[int]:
     bits = []
     for i in range(n):
         b = c.hint(f"{pfx}.out[{i}]", lambda i=i: (inp >> i) & 1)
-        c.require(f"{pfx}.bool[{i}]", b * (1 - b) % P)
+        c.require(f"{pfx}.bool[{i}]", b * (1 - b) % c.p)
         bits.append(b)
-    s = sum((1 << i) * b for i, b in enumerate(bits)) % P
+    s = sum((1 << i) * b for i, b in enumerate(bits)) % c.p
     c.require(f"{pfx}.sum", s, inp)
     return bits
 
 
 def _is_equal(c: _Ctx, pfx: str, a: int, b: int) -> int:
     """IsEqual via IsZero's inverse-witness trick (misc.circom:33-59)."""
-    inp = (a - b) % P
+    inp = (a - b) % c.p
     inv = c.hint(
         f"{pfx}.inv",
-        lambda: pow(inp, P - 2, P) if inp != 0 else 0,
+        lambda: pow(inp, c.p - 2, c.p) if inp != 0 else 0,
         free=(inp == 0),  # any inverse satisfies the constraints when inp==0
     )
-    out = c.assign(f"{pfx}.out", (1 - inp * inv) % P)
-    c.require(f"{pfx}.zero", inp * out % P)
+    out = c.assign(f"{pfx}.out", (1 - inp * inv) % c.p)
+    c.require(f"{pfx}.zero", inp * out % c.p)
     return out
 
 
 def _binary_compare(c: _Ctx, pfx: str, A: list[int], B: list[int]) -> int:
     """BinaryCompare(n) (binary_compare.circom:20-41).  Returns the field
-    value of `out` (P-1 encodes -1)."""
+    value of `out` (p-1 encodes -1)."""
     n = len(A)
     assert len(B) == n
     jump = {n: 1}
     total = 0
     for k in range(n - 1, -1, -1):
-        y = (A[k] - B[k]) % P
-        eq = c.assign(f"{pfx}.eq[{k}]", (1 - y * y) % P)
-        jump[k] = c.assign(f"{pfx}.jump[{k}]", eq * jump[k + 1] % P)
-        aux = c.assign(f"{pfx}.aux[{k}]", (jump[k + 1] - jump[k]) * y % P)
-        total = (total + aux) % P
+        y = (A[k] - B[k]) % c.p
+        eq = c.assign(f"{pfx}.eq[{k}]", (1 - y * y) % c.p)
+        jump[k] = c.assign(f"{pfx}.jump[{k}]", eq * jump[k + 1] % c.p)
+        aux = c.assign(f"{pfx}.aux[{k}]", (jump[k + 1] - jump[k]) * y % c.p)
+        total = (total + aux) % c.p
     return c.assign(f"{pfx}.out", total)
 
 
 def _extract_lower_bits(c: _Ctx, pfx: str, inp: int, n: int) -> list[int]:
-    """ExtractLowerBits(n) (extract_bits.circom:17-40): full 254-bit
-    decomposition with the enforced `bits < r` via BinaryCompare."""
-    bits = _to_bits(c, f"{pfx}.tb", inp, 254)
-    out = _binary_compare(c, f"{pfx}.le", bits, PRIME_BITS)
-    c.require(f"{pfx}.lt_prime", out, P - 1)  # out === -1
+    """ExtractLowerBits(n) (extract_bits.circom:17-40): full field-width
+    decomposition with the enforced `bits < r` via BinaryCompare.  Over the
+    65537 test field the width is 17 with that prime's bits, matching
+    ExtractLowerBits_testfield65537 (extract_bits.circom:50-73)."""
+    nb = c.n_field_bits
+    prime_bits = PRIME_BITS if c.p == P else [(c.p >> i) & 1 for i in range(nb)]
+    bits = _to_bits(c, f"{pfx}.tb", inp, nb)
+    out = _binary_compare(c, f"{pfx}.le", bits, prime_bits)
+    c.require(f"{pfx}.lt_prime", out, c.p - 1)  # out === -1
     return bits[:n]
 
 
@@ -174,25 +190,25 @@ def _log2(c: _Ctx, pfx: str, inp: int, n: int) -> tuple[int, list[int]]:
     c.require(f"{pfx}.maskn", mask[n])
     s = 0
     for i in range(n):
-        d = (mask[i] - mask[i + 1]) % P
-        s = (s + (1 << (i + 1)) * d) % P
-        c.require(f"{pfx}.step[{i}]", d * (i + 1 - out) % P)
+        d = (mask[i] - mask[i + 1]) % c.p
+        s = (s + (1 << (i + 1)) * d) % c.p
+        c.require(f"{pfx}.step[{i}]", d * (i + 1 - out) % c.p)
     c.require(f"{pfx}.sum", s, inp)
     return out, mask
 
 
 def _ceiling_log2(c: _Ctx, pfx: str, inp: int, n: int):
     """CeilingLog2(n) (log2.circom:108-130): (out, bits(inp-1), mask)."""
-    bits = _to_bits(c, f"{pfx}.tb", (inp - 1) % P, n)
+    bits = _to_bits(c, f"{pfx}.tb", (inp - 1) % c.p, n)
     aux = {n: 1}
     s = 0
     for i in range(n - 1, -1, -1):
-        aux[i] = c.assign(f"{pfx}.aux[{i}]", aux[i + 1] * (1 - bits[i]) % P)
+        aux[i] = c.assign(f"{pfx}.aux[{i}]", aux[i + 1] * (1 - bits[i]) % c.p)
     mask = []
     for i in range(n):
-        mask.append(c.assign(f"{pfx}.mask[{i}]", (1 - aux[i]) % P))
+        mask.append(c.assign(f"{pfx}.mask[{i}]", (1 - aux[i]) % c.p))
     for i in range(n - 1, -1, -1):
-        s = (s + (aux[i + 1] - aux[i]) * (i + 1)) % P
+        s = (s + (aux[i + 1] - aux[i]) * (i + 1)) % c.p
     mask.append(c.assign(f"{pfx}.mask[{n}]", 0))
     out = c.assign(f"{pfx}.out", s)
     return out, bits, mask
@@ -200,7 +216,10 @@ def _ceiling_log2(c: _Ctx, pfx: str, inp: int, n: int):
 
 def _keyed_compression_gate(c: _Ctx, pfx: str, key: int, x: int, y: int) -> int:
     """One KeyedCompression as an atomic permutation gate: the output state
-    is witness; evaluation re-derives it from (x, y, key)."""
+    is witness; evaluation re-derives it from (x, y, key).  BN254-only: the
+    permutation constants live in Fr (the reference harness likewise keeps
+    the hash circuits out of its small-field solver tests, test/Main.hs)."""
+    assert c.p == P, "permutation gates require the BN254 field"
     exp = permutation((x % P, y % P, key % P))
     got = [c.assign(f"{pfx}.perm.{lane}", v) for lane, v in zip("xyz", exp)]
     return got[0]
@@ -226,18 +245,18 @@ def _root_from_merkle_path(
     is_last = {d: 1}
     for i in range(d - 1, -1, -1):
         eq = _is_equal(c, f"{pfx}.eq[{i}]", path_bits[i], last_bits[i])
-        is_last[i] = c.assign(f"{pfx}.isLast[{i}]", is_last[i + 1] * eq % P)
+        is_last[i] = c.assign(f"{pfx}.isLast[{i}]", is_last[i + 1] * eq % c.p)
 
     # the hash chain with switch/key logic (merkle.circom:84-104)
     aux = c.assign(f"{pfx}.aux[0]", leaf)
     for i in range(d):
         bottom = 1 if i == 0 else 0
-        odd = is_last[i] * (1 - path_bits[i]) % P
+        odd = is_last[i] * (1 - path_bits[i]) % c.p
         l_in, r_in = aux, merkle_path[i]
-        switch = c.assign(f"{pfx}.switch[{i}]", (r_in - l_in) * path_bits[i] % P)
-        key = (bottom + 2 * odd) % P
+        switch = c.assign(f"{pfx}.switch[{i}]", (r_in - l_in) * path_bits[i] % c.p)
+        key = (bottom + 2 * odd) % c.p
         out = _keyed_compression_gate(
-            c, f"{pfx}.comp[{i}]", key, (l_in + switch) % P, (r_in - switch) % P
+            c, f"{pfx}.comp[{i}]", key, (l_in + switch) % c.p, (r_in - switch) % c.p
         )
         aux = c.assign(f"{pfx}.aux[{i+1}]", out)
 
@@ -246,15 +265,17 @@ def _root_from_merkle_path(
     for i in range(d):
         prod = c.assign(
             f"{pfx}.prods[{i}]",
-            (corrected[i] - corrected[i + 1]) * c.w[f"{pfx}.aux[{i+1}]"] % P,
+            (corrected[i] - corrected[i + 1]) * c.w[f"{pfx}.aux[{i+1}]"] % c.p,
         )
-        total = (total + prod) % P
+        total = (total + prod) % c.p
     return total
 
 
 def _sponge2_hash_gates(c: _Ctx, pfx: str, felts: list[int]) -> int:
     """Poseidon2_hash_rate2(n): rate-2 sponge with felt 10* padding
-    (poseidon2_sponge.circom:28-99), permutations as atomic gates."""
+    (poseidon2_sponge.circom:28-99), permutations as atomic gates.
+    BN254-only (see _keyed_compression_gate)."""
+    assert c.p == P, "sponge gates require the BN254 field"
     padded = list(felts) + [1]
     if len(padded) % 2:
         padded.append(0)
@@ -276,7 +297,7 @@ def _calculate_cell_index_bits(
     h = _sponge2_hash_gates(c, f"{pfx}.pos", [entropy, slot_root, counter])
     md = _extract_lower_bits(c, f"{pfx}.md", h, max_depth)
     return [
-        c.assign(f"{pfx}.indexBits[{i}]", mask[i] * md[i] % P)
+        c.assign(f"{pfx}.indexBits[{i}]", mask[i] * md[i] % c.p)
         for i in range(max_depth)
     ]
 

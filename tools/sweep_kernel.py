@@ -28,7 +28,7 @@ states = rng.integers(0, 1 << 16, size=(3, L.NL, BATCH), dtype=np.uint32)
 states[:, L.NL - 1, :] &= 0x2FFF
 x = jnp.asarray(states)
 
-for tile, nc in ((256, 1), (512, 1), (1024, 1), (512, 2), (1024, 2), (2048, 4)):
+for tile, nc in ((512, 1), (1024, 2), (1024, 4), (2048, 2), (2048, 4), (2048, 8), (4096, 4), (4096, 8)):
     try:
         perm = lambda s: P2K.permutation(s, batch_tile=tile, n_chains=nc)
         t0 = time.perf_counter()
