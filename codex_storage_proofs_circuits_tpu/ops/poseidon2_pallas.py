@@ -46,6 +46,7 @@ each, out < 4.06P -> < 1.001P.  All mul inputs <= 2.01P < 3.9P.  Closed.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 import jax
@@ -141,7 +142,7 @@ def _cios(a, b, p):
     return acc
 
 
-def _norm(x):
+def _norm_ks(x):
     """Carry-save columns (<= 2^23) -> canonical 16-bit limbs mod 2^256.
 
     One masked pass (limbs then <= 0xFFFF + 0x7F) + Kogge-Stone resolve.
@@ -156,6 +157,39 @@ def _norm(x):
         prop = prop & _shift_up(prop, d)
         d *= 2
     return (low + _shift_up(gen)) & MASK
+
+
+def _norm_packed(x):
+    """Bit-packed carry resolve (KERNEL_ANALYSIS "remaining levers" #1).
+
+    After the masked pass, per-limb generate (0/1) and propagate bits pack
+    into one 16-bit word per element (bit i = limb i) via a sublane OR
+    tree; the full carry resolution is then the classic packed-adder
+    identity c = (g + (g|p)) ^ g ^ (g|p) — bit i of c is the carry INTO
+    limb i — and unpacks with one varying-amount shift.  Replaces the
+    4-stage full-width Kogge-Stone dependence chain with one (1, B) add.
+    """
+    x = (x & MASK) + _shift_up(x >> LB)
+    low = x & MASK
+    iota = jax.lax.broadcasted_iota(U32, (NL, 1), 0)
+    gsh = (x >> LB) << iota
+    psh = (low == MASK).astype(U32) << iota
+
+    def _or_tree(v):
+        # contiguous halves (Mosaic lowers these; sublane strides it can't)
+        v = v[:8] | v[8:]
+        v = v[:4] | v[4:]
+        v = v[:2] | v[2:]
+        return v[0:1] | v[1:2]  # (1, B)
+
+    g = _or_tree(gsh)
+    gp = g | _or_tree(psh)
+    c = (g + gp) ^ g ^ gp  # bit i = carry into limb i (bit 0 always 0)
+    cin = (jnp.broadcast_to(c, low.shape) >> iota) & U32(1)
+    return (low + cin) & MASK
+
+
+_norm = _norm_packed if os.environ.get("CSPC_NORM", "packed") == "packed" else _norm_ks
 
 
 def _red1(x, negp):

@@ -63,15 +63,38 @@ def main() -> int:
             assert got == bn254.to_mont(exp[i]), (b, i, hex(got))
     print(f"kernel bit-exact vs oracle on {nchk} states (incl. KAT)", flush=True)
 
+    def _timed(fn, x0):
+        """Overhead-safe per-call seconds on a CHAINED y = fn(y) loop with
+        the window scaled to >= 10x sync overhead, median of 3 (bench.py
+        methodology).  Unchained same-input repeat dispatches interact
+        pathologically with the tunneled backend (measured both 5x-inflated
+        and 10x-deflated windows); chaining is the reliable pattern."""
+        y = fn(x0)
+        jax.device_get(y[(0,) * (y.ndim - 1) + (slice(0, 1),)])
+        n = 8
+        while True:
+            t0 = time.perf_counter()
+            y = x0
+            for _ in range(n):
+                y = fn(y)
+            jax.device_get(y[(0,) * (y.ndim - 1) + (slice(0, 1),)])
+            dt = time.perf_counter() - t0
+            if dt >= max(10 * SYNC, 0.3):
+                break
+            n *= 2
+        samples = [dt]
+        for _ in range(2):
+            t0 = time.perf_counter()
+            y = x0
+            for _ in range(n):
+                y = fn(y)
+            jax.device_get(y[(0,) * (y.ndim - 1) + (slice(0, 1),)])
+            samples.append(time.perf_counter() - t0)
+        samples.sort()
+        return (samples[1] - SYNC) / n
+
     for bt in (256, 512, 1024):
-        out = K.permutation(state, batch_tile=bt)
-        jax.device_get(out[0, 0, :1])
-        t0 = time.perf_counter()
-        n = 10
-        for _ in range(n):
-            out = K.permutation(state, batch_tile=bt)
-        jax.device_get(out[0, 0, :1])
-        dt = (time.perf_counter() - t0 - SYNC) / n
+        dt = _timed(lambda v: K.permutation(v, batch_tile=bt), state)
         print(f"bt={bt}: {dt*1e3:.3f} ms -> {B/dt/1e6:.3f}M perm/s", flush=True)
 
     # ---- fused rate-2 sponge kernel: correctness + cells/s ----
@@ -93,13 +116,18 @@ def main() -> int:
         got = sum(int(chk[l, b]) << (16 * l) for l in range(L.NL))
         assert got == bn254.to_mont(exp), b
     print("fused sponge bit-exact vs oracle on 4 cells", flush=True)
-    jax.device_get(K.sponge2_absorb(blocks)[0, :1])
-    t0 = time.perf_counter()
-    n = 10
-    for _ in range(n):
-        out = K.sponge2_absorb(blocks)
-    jax.device_get(out[0, :1])
-    dt = (time.perf_counter() - t0 - SYNC) / n
+    # the sponge is not shape-preserving; chain through a re-blocked felt
+    # stack built from the squeezed output (keeps the device queue busy with
+    # dependent work like the chained perm loop)
+    nb = blocks.shape[0]
+
+    def sponge_step(blk):
+        out = K.sponge2_absorb(blk)  # (NL, SB)
+        return jnp.broadcast_to(out[None, None], (nb, 2, L.NL, SB)).astype(
+            jnp.uint32
+        )
+
+    dt = _timed(sponge_step, blocks)
     print(
         f"sponge: {dt*1e3:.2f} ms -> {SB/dt:,.0f} cells/s"
         f" = {SB*blocks.shape[0]/dt/1e6:.2f}M perm/s",
