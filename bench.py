@@ -266,6 +266,10 @@ def main() -> int:
         trace_ctx = jax.profiler.trace(trace_dir)
         print(f"# writing profiler trace to {trace_dir}", file=sys.stderr)
 
+    from codex_storage_proofs_circuits_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache("/root/.cache/jax_tpu_comp")
+
     backend = jax.default_backend()
     on_tpu = backend == "tpu"
     global _SYNC_OVERHEAD

@@ -40,6 +40,17 @@ def _use_pallas(hash_fun: str, b: int) -> bool:
     )
 
 
+# Narrow compressions (upper tree layers) also route through the kernel on
+# TPU, padded up to one tile: a grid-1 pallas call costs ~0.1 ms while the
+# jnp fallback pays >1 ms per 30-round graph — the narrow tail of a chunk's
+# tree reduce was most of its device time (tools/profile_stages.py).
+def _use_pallas_padded(hash_fun: str, b: int) -> bool:
+    return (
+        hash_fun in ("poseidon2", "monolith")
+        and jax.default_backend() == "tpu"
+    )
+
+
 def _pad_lanes(arr: jnp.ndarray, mult: int) -> tuple[jnp.ndarray, int]:
     b = arr.shape[-1]
     pad = (-b) % mult
@@ -64,7 +75,7 @@ def compress_digests(
 ) -> jnp.ndarray:
     """Keyed digest compression via the best available path."""
     b = x.shape[-1]
-    if _use_pallas(hash_fun, b):
+    if _use_pallas_padded(hash_fun, b):
         xp, b0 = _pad_lanes(x, GP.DEFAULT_TILE)
         yp, _ = _pad_lanes(y, GP.DEFAULT_TILE)
         return GP.compress(xp, yp, key, hash_fun=hash_fun)[:, :, :b0]

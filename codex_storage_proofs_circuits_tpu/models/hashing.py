@@ -131,8 +131,19 @@ def _tail_reduce_scan(
     )  # (n_steps, NL, 1)
     keys = jnp.asarray(np.broadcast_to(keys_np, (n_steps, NL, half)).copy())
 
+    # On TPU, run the narrow steps through the fused kernel padded up to one
+    # tile: a 512-lane pallas step costs ~0.1 ms while the jnp fallback's
+    # 64-round graph costs >1 ms per step — at 9 tail steps per chunk that
+    # was most of the tree-reduce time (tools/profile_stages.py).
+    pad_tail = _use_pallas() and half < _PALLAS_MIN_BATCH
+
     def body(cur, key):
-        out = permute(jnp.stack([cur[:, 0::2], cur[:, 1::2], key]))[0]  # (NL, half)
+        trip = jnp.stack([cur[:, 0::2], cur[:, 1::2], key])
+        if pad_tail:
+            padded, _ = _pad_lanes(trip, _PALLAS_MIN_BATCH)
+            out = P2K.permutation(padded, batch_tile=_PALLAS_MIN_BATCH)[0][:, :half]
+        else:
+            out = permute(trip)[0]  # (NL, half)
         nxt = jnp.concatenate([out, jnp.zeros((NL, t - half), jnp.uint32)], axis=1)
         return nxt, out
 

@@ -142,17 +142,19 @@ def _chunk_tops_jit(chunk_roots_canonical, btd: int, chunk_depth: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cell_size", "block_tree_depth")
+    jax.jit, static_argnames=("cell_size", "block_tree_depth", "n")
 )
-def _fused_fake_chunk(seed1_planes, seed2_planes, cell_size, block_tree_depth):
-    """One device dispatch for a whole fake-data chunk: PRNG -> byte pad ->
-    felt encode -> rate-2 sponge -> subtree reduce.  The tunneled PJRT
-    backend pays tens of ms per dispatch; the per-chunk loop used to issue
-    three (PRNG, encode, tree), which dominated wall-clock at 256 MB scale."""
+def _fused_fake_chunk(seed1_base, seed2_base, cell_size, block_tree_depth, n):
+    """One device dispatch for a whole fake-data chunk: seed planes -> PRNG
+    -> byte pad -> felt encode -> rate-2 sponge -> subtree reduce.  The
+    tunneled PJRT backend pays tens of ms per dispatch AND uploads at
+    ~36 MB/s, so the chunk takes only two (4,) seed-base vectors (32 B) and
+    builds the per-cell seed planes on device."""
     from ..ops.encode import encode_cells_device
-    from ..ops.fake_prng import _gen_scan
+    from ..ops.fake_prng import _gen_scan, seed_planes_device
 
-    rows = _gen_scan(seed1_planes, seed2_planes, cell_size)  # (cell, B) u8
+    s1, s2 = seed_planes_device(seed1_base, seed2_base, n)
+    rows = _gen_scan(s1, s2, cell_size)  # (cell, B) u8
     felts = encode_cells_device(rows.T)
     return H.slot_tree_from_felts(felts, block_tree_depth)
 
@@ -204,16 +206,14 @@ def streaming_slot_layers(
             return None
         t0 = time.perf_counter()
         if cfg.data_src.kind == "fake":
-            # fully on-device AND fully fused: PRNG + padding + encode +
-            # sponge + subtree reduce in ONE dispatch (no host transfers,
-            # one tunnel round-trip per chunk)
-            from ..ops.fake_prng import fake_seed_planes
+            # fully on-device AND fully fused: seed planes + PRNG + padding
+            # + encode + sponge + subtree reduce in ONE dispatch (32 B of
+            # upload and one tunnel round-trip per chunk)
+            from ..ops.fake_prng import fake_seed_bases
 
-            s1, s2 = fake_seed_planes(
-                cfg.data_src.seed, c * chunk_cells, chunk_cells
-            )
+            s1, s2 = fake_seed_bases(cfg.data_src.seed, c * chunk_cells)
             t1 = t2 = time.perf_counter()
-            layers = _fused_fake_chunk(s1, s2, cfg.cell_size, btd)
+            layers = _fused_fake_chunk(s1, s2, cfg.cell_size, btd, chunk_cells)
         else:
             idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
             cells = D.load_cells(cfg, idx)
@@ -263,17 +263,20 @@ def streaming_slot_root(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("hash_fun", "cell_size", "block_tree_depth")
+    jax.jit, static_argnames=("hash_fun", "cell_size", "block_tree_depth", "n")
 )
-def _fused_fake_chunk_gl(seed1_planes, seed2_planes, hash_fun, cell_size, block_tree_depth):
-    """One device dispatch per fake-data chunk: PRNG -> byte pad -> 62-byte
-    felt encode -> rate-8 sponge -> subtree reduce (GL digest layers)."""
-    from ..ops.fake_prng import _gen_scan
+def _fused_fake_chunk_gl(seed1_base, seed2_base, hash_fun, cell_size, block_tree_depth, n):
+    """One device dispatch per fake-data chunk: seed planes -> PRNG -> byte
+    pad -> 62-byte felt encode -> rate-8 sponge -> subtree reduce (GL digest
+    layers).  Takes 32 B seed bases like _fused_fake_chunk (upload-bound
+    tunnel)."""
+    from ..ops.fake_prng import _gen_scan, seed_planes_device
     from ..ops.gl_encode import encode_cells_gl_device
     from ..parallel.gl_tree import gl_tree_reduce_layers
     from . import gl_hashing as GH
 
-    rows = _gen_scan(seed1_planes, seed2_planes, cell_size)  # (cell, B)
+    s1, s2 = seed_planes_device(seed1_base, seed2_base, n)
+    rows = _gen_scan(s1, s2, cell_size)  # (cell, B)
     felts = encode_cells_gl_device(rows, cell_size)
     hashes = GH.sponge_digests(hash_fun, felts)
     return gl_tree_reduce_layers(hashes, hash_fun, (0, block_tree_depth))
@@ -313,11 +316,13 @@ def streaming_slot_layers_gl(
     for c in range(n_chunks):
         t0 = time.perf_counter()
         if cfg.data_src.kind == "fake":
-            from ..ops.fake_prng import fake_seed_planes
+            from ..ops.fake_prng import fake_seed_bases
 
-            s1, s2 = fake_seed_planes(cfg.data_src.seed, c * chunk_cells, chunk_cells)
+            s1, s2 = fake_seed_bases(cfg.data_src.seed, c * chunk_cells)
             t1 = time.perf_counter()
-            layers = _fused_fake_chunk_gl(s1, s2, hash_fun, cfg.cell_size, btd)
+            layers = _fused_fake_chunk_gl(
+                s1, s2, hash_fun, cfg.cell_size, btd, chunk_cells
+            )
         else:
             idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
             cells = D.load_cells(cfg, idx)

@@ -16,6 +16,8 @@ All products are 16x16->32, exact in uint32; the modulo is Barrett with a
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -87,19 +89,18 @@ def _mul_wide(a, b, na: int, nb: int, n_out: int):
 
 def _mod_m(v):
     """v (4 limbs, < 2^64) mod _M via Barrett: q = ((v >> 50) * MU) >> 51,
-    q <= floor(v/M) <= q + 2, so two conditional subtracts finish."""
+    q <= floor(v/M) <= q + 2, so two conditional subtracts finish.
+
+    q itself is a SINGLE 16-bit limb: floor(v/M) < 2^64 / 2^50.59 < 2^13.5,
+    so q*M is a 1x4 product (4 multiplies), not the 4x4 the first version
+    paid (~17% of the whole PRNG step)."""
     top = (v[3] >> 2) & 0x3FFF  # v >> 50 (14 bits: limb 3 bits 2..15)
     mu = [jnp.full_like(v[0], l) for l in _MU_LIMBS]
-    prod = _mul_wide([top], mu, 1, 4, 7)  # top * MU, < 2^65
-    # >> 51 = drop 3 limbs then >> 3: bits from limbs 3..6
-    q = [
-        ((prod[3] >> 3) | (prod[4] << 13)) & MASK,
-        ((prod[4] >> 3) | (prod[5] << 13)) & MASK,
-        ((prod[5] >> 3) | (prod[6] << 13)) & MASK,
-        (prod[6] >> 3) & MASK,
-    ]
+    prod = _mul_wide([top], mu, 1, 4, 5)  # top * MU, < 2^65
+    # >> 51 = drop 3 limbs then >> 3; bits 51..64 live in limbs 3..4
+    q = ((prod[3] >> 3) | (prod[4] << 13)) & MASK  # one limb, < 2^14
     m = [jnp.full_like(v[0], l) for l in _M_LIMBS]
-    qm = _mul_wide(q, m, 4, 4, 5)  # q*M <= v < 2^64 (+ slack limb)
+    qm = _mul_wide([q], m, 1, 4, 5)  # q*M <= v < 2^64 (+ slack limb)
     # r = v - q*M, in [0, 3M): borrow-ripple subtract then 2 cond-subs
     r = []
     borrow = jnp.zeros_like(v[0])
@@ -149,16 +150,23 @@ def _gen_scan(seed1_planes, seed2_planes, n_steps: int):
     one = [jnp.full_like(s1[0], l) for l in [1, 0, 0, 0]]
     s2p17 = _add64(s2, c17)
 
+    # XLA:TPU compiles the unrolled body fine; XLA:CPU compile time explodes
+    # superlinearly with body size (k=4 took 94 s on a 2-core host), so the
+    # portable path keeps k=1.  All k values are bit-exact (same arithmetic).
+    default_k = 8 if jax.default_backend() == "tpu" else 1
+    k_max = int(os.environ.get("CSPC_PRNG_UNROLL", str(default_k)))
     k = 1
-    while k < 8 and n_steps % (k * 2) == 0:
+    while k < k_max and n_steps % (k * 2) == 0:
         k *= 2
 
     def step(state):
-        t = _mul64(state, _add64(state, s1))
-        t = _mul64(t, _add64(state, s2))
-        t = _add64(t, _mul64(state, _xor64(state, xor_c)))
-        t = _add64(t, _mul64(s1, state))
-        t = _add64(t, s2p17)
+        # s(s+s1)(s+s2) + s(s^C) + s1*s + s2 + 17
+        #   == s * [(s+s1)(s+s2) + (s^C) + s1] + s2 + 17   (mod 2^64)
+        # — the factored form does 2 mul64 instead of 4 (~35% of the step)
+        inner = _mul64(_add64(state, s1), _add64(state, s2))
+        inner = _add64(inner, _xor64(state, xor_c))
+        inner = _add64(inner, s1)
+        t = _add64(_mul64(state, inner), s2p17)
         new = _mod_m(t)
         return new, (new[0] & 0xFF).astype(jnp.uint8)
 
@@ -188,6 +196,32 @@ def fake_seed_planes(seed: int, start_idx: int, n: int):
     for i in range(4):
         s2p[i] = ((seed2 >> np.uint64(16 * i)) & np.uint64(MASK)).astype(np.uint32)
     return s1, jnp.asarray(s2p)
+
+
+def fake_seed_bases(seed: int, start_idx: int):
+    """Tiny (4,) uint32 limb vectors (seed1, seed2 base) for device-side
+    seed-plane construction — 32 bytes of upload per chunk instead of the
+    two (4, B) plane arrays (256 KB at B=8192; at the tunnel's ~36 MB/s
+    that upload was most of the GL chunk wall, tools/profile_stages.py)."""
+    seed1 = (seed + 0xDEADCAFE) & 0xFFFFFFFFFFFFFFFF
+    base2 = (start_idx + 0x98765432) & 0xFFFFFFFFFFFFFFFF
+    to4 = lambda v: np.array([(v >> (16 * i)) & MASK for i in range(4)], np.uint32)
+    return jnp.asarray(to4(seed1)), jnp.asarray(to4(base2))
+
+
+def seed_planes_device(seed1_base, seed2_base, n: int):
+    """Device twin of fake_seed_planes: s1 broadcast from the (4,) base,
+    s2 = base + iota with 64-bit wraparound on 16-bit limb planes."""
+    s1 = jnp.broadcast_to(seed1_base[:, None], (4, n)).astype(U32)
+    iota = jax.lax.iota(U32, n)
+    cols = [
+        seed2_base[0] + (iota & MASK),
+        jnp.broadcast_to(seed2_base[1], (n,)) + (iota >> 16),
+        jnp.broadcast_to(seed2_base[2], (n,)),
+        jnp.broadcast_to(seed2_base[3], (n,)),
+    ]
+    s2 = jnp.stack(_ripple(cols, 4))  # mod 2^64 wraparound (drop carry-out)
+    return s1, s2
 
 
 def gen_fake_cells_device(cell_size: int, seed: int, start_idx: int, n: int):

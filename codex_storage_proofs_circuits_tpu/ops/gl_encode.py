@@ -58,17 +58,39 @@ def encode_cells_gl_device(rows_u8: jnp.ndarray, cell_size: int) -> jnp.ndarray:
 
     rows_u8 may be any integer dtype holding byte values.  Applies the 10*
     byte padding on device.
-    """
+
+    The 62-byte chunk structure repeats, so every (felt-in-chunk, limb)
+    combination reads THREE fixed rows of the (n_chunks, 62, B) view —
+    static contiguous slices, which XLA lowers as cheap copies, instead of
+    the first version's three whole-array gathers (measured ~4x faster on
+    the chip)."""
     padded, nf, idx, shift, mask = _encode_tables(cell_size)
+    n_chunks = padded // CHUNK_BYTES_GL
     b = rows_u8.shape[1]
     one = jnp.ones((1, b), jnp.uint32)
     zeros = jnp.zeros((padded - cell_size - 1, b), jnp.uint32)
     buf = jnp.concatenate([rows_u8.astype(jnp.uint32), one, zeros], axis=0)
-    # three static gathers: (nf*NL, B) each
-    flat_idx = [jnp.asarray(idx[k].reshape(-1)) for k in range(3)]
-    b0, b1, b2 = (jnp.take(buf, fi, axis=0) for fi in flat_idx)
-    sh = jnp.asarray(shift.reshape(-1, 1).astype(np.uint32))
-    mk = jnp.asarray(mask.reshape(-1, 1))
-    val = (b0 >> sh) | (b1 << (8 - sh)) | (b2 << (16 - sh))
-    limbs = (val & mk).reshape(nf, NL, b)
-    return limbs
+    chunks = buf.reshape(n_chunks, CHUNK_BYTES_GL, b)
+    vals = []  # (8*NL) arrays of (n_chunks, B), felt-in-chunk major
+    for sub in range(8):
+        for l in range(NL):
+            bit0 = FELT_BITS * sub + LIMB_BITS * l
+            nbits = min(LIMB_BITS, FELT_BITS - LIMB_BITS * l)
+            byte0 = bit0 // 8
+            s = bit0 % 8
+            r0 = chunks[:, byte0, :]
+            r1 = (
+                chunks[:, byte0 + 1, :]
+                if byte0 + 1 < CHUNK_BYTES_GL
+                else jnp.zeros_like(r0)
+            )
+            r2 = (
+                chunks[:, byte0 + 2, :]
+                if byte0 + 2 < CHUNK_BYTES_GL
+                else jnp.zeros_like(r0)
+            )
+            v = (r0 >> s) | (r1 << (8 - s)) | (r2 << (16 - s))
+            vals.append(v & np.uint32((1 << nbits) - 1))
+    # (8, NL, n_chunks, B) -> (n_chunks, 8, NL, B) -> (nf, NL, B)
+    out = jnp.stack(vals).reshape(8, NL, n_chunks, b)
+    return jnp.moveaxis(out, 2, 0).reshape(nf, NL, b)

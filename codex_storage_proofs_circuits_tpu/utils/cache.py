@@ -32,6 +32,26 @@ def set_default_cache_env(base: str = "/root/.cache/jax_comp") -> str:
     return os.environ["JAX_COMPILATION_CACHE_DIR"]
 
 
+def enable_compile_cache(base: str = "/root/.cache/jax_comp") -> str:
+    """Activate the persistent compilation cache even when jax was already
+    initialized (the axon sitecustomize imports jax at interpreter startup,
+    BEFORE any tool can set JAX_COMPILATION_CACHE_DIR — the env-var path
+    silently never cached: the 1 GB pipeline re-paid a ~90-230 s cold
+    compile in every process).  jax reads these config values at compile
+    time, so setting them post-import works."""
+    path = os.environ.get("JAX_COMPILATION_CACHE_DIR") or machine_cache_dir(base)
+    os.makedirs(path, exist_ok=True)
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    try:
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except AttributeError:  # older jax
+        pass
+    return path
+
+
 def measure_sync_overhead(reps: int = 5) -> float:
     """Median wall-clock of a warm tiny device_get round trip.
 

@@ -111,10 +111,12 @@ def configs_from_args(args) -> tuple[GlobalConfig, DataSetConfig]:
 def main(argv=None) -> int:
     # persistent XLA compile cache: the tpu backend jits one program per
     # tree-layer width, which on small CPU hosts dominates wall-clock on
-    # first runs; must be set before jax's first import.
-    from .cache import set_default_cache_env
+    # first runs.  The env var only works if jax is not yet imported; the
+    # programmatic config covers hosts whose sitecustomize pre-imports jax.
+    from .cache import enable_compile_cache, set_default_cache_env
 
     set_default_cache_env()
+    enable_compile_cache()
 
     args = build_parser().parse_args(argv)
 

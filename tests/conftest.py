@@ -48,6 +48,12 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", machine_cache_dir("/root/.cache/jax_comp")
 )
+# Cache READS stay on (warm reruns), but executable WRITES are disabled for
+# the suite: XLA:CPU's LoadedExecutable.serialize() aborts the process
+# (SIGABRT inside put_executable_and_time) for one of the streaming
+# executables, but only in full-suite accumulation state — every subset of
+# the suite passes with writes on.  Entries are seeded by CLI/tool runs.
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1000000")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -39,9 +39,10 @@ layers = timeit("tree_reduce_layers", lambda: H.tree_reduce_layers(hashes, botto
 full = timeit("slot_tree_from_felts(jit)", lambda: H.slot_tree_from_felts(felts, BTD))
 
 from codex_storage_proofs_circuits_tpu.models.streaming import _fused_fake_chunk
-from codex_storage_proofs_circuits_tpu.ops.fake_prng import fake_seed_planes
+from codex_storage_proofs_circuits_tpu.ops.fake_prng import fake_seed_bases
 
-s1, s2 = fake_seed_planes(12345, 0, CHUNK)
-timeit("fused_fake_chunk(1 dispatch)", lambda: _fused_fake_chunk(s1, s2, CELL, BTD))
+s1, s2 = fake_seed_bases(12345, 0)
+timeit("fused_fake_chunk(1 dispatch)",
+       lambda: _fused_fake_chunk(s1, s2, CELL, BTD, CHUNK))
 nperm = CHUNK * 34
 print(f"sponge perms per chunk: {nperm}")

@@ -28,6 +28,8 @@ from codex_storage_proofs_circuits_tpu.utils.cache import (
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", machine_cache_dir("/root/.cache/jax_tpu_comp")
 )
+from codex_storage_proofs_circuits_tpu.utils.cache import enable_compile_cache
+enable_compile_cache("/root/.cache/jax_tpu_comp")
 
 import numpy as np
 import jax
@@ -94,7 +96,12 @@ def main():
         )
         t = timed(lambda: rd(hashes))
         print(f"reduce: {t*1e3:8.1f} ms/chunk", flush=True)
-        t = timed(lambda: _fused_fake_chunk_gl(s1, s2, "poseidon2", cell_size, btd)[-1])
+        from codex_storage_proofs_circuits_tpu.ops.fake_prng import fake_seed_bases
+
+        b1, b2 = fake_seed_bases(12345, 0)
+        t = timed(
+            lambda: _fused_fake_chunk_gl(b1, b2, "poseidon2", cell_size, btd, B)[-1]
+        )
         print(f"fused:  {t*1e3:8.1f} ms/chunk", flush=True)
 
         from codex_storage_proofs_circuits_tpu.oracle.slot import (
@@ -130,7 +137,10 @@ def main():
         )
         t = timed(lambda: rd(hashes))
         print(f"reduce: {t*1e3:8.1f} ms/chunk", flush=True)
-        t = timed(lambda: _fused_fake_chunk(s1, s2, cell_size, btd)[-1])
+        from codex_storage_proofs_circuits_tpu.ops.fake_prng import fake_seed_bases
+
+        b1, b2 = fake_seed_bases(12345, 0)
+        t = timed(lambda: _fused_fake_chunk(b1, b2, cell_size, btd, B)[-1])
         print(f"fused:  {t*1e3:8.1f} ms/chunk", flush=True)
 
         from codex_storage_proofs_circuits_tpu.oracle.slot import (

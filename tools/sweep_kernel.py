@@ -10,6 +10,8 @@ from codex_storage_proofs_circuits_tpu.utils.cache import (
 os.environ.setdefault(
     "JAX_COMPILATION_CACHE_DIR", machine_cache_dir("/root/.cache/jax_tpu_comp")
 )
+from codex_storage_proofs_circuits_tpu.utils.cache import enable_compile_cache
+enable_compile_cache("/root/.cache/jax_tpu_comp")
 
 import numpy as np
 import jax, jax.numpy as jnp

@@ -31,6 +31,9 @@ def main() -> int:
     from codex_storage_proofs_circuits_tpu.ops import poseidon2_pallas as K
     from codex_storage_proofs_circuits_tpu.oracle import poseidon2 as O
 
+    from codex_storage_proofs_circuits_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache("/root/.cache/jax_tpu_comp")
     print("backend:", jax.default_backend(), flush=True)
     rng = np.random.default_rng(7)
     B = 1 << 17
