@@ -8,12 +8,16 @@ PY ?= python
 
 check: native test bench-small workflow-smoke
 
+# -n 2 (pytest-xdist) shards tests across worker PROCESSES: one process
+# accumulating the whole suite's ~150 XLA:CPU executables eventually
+# segfaults inside the native compiler (see tests/conftest.py note);
+# sharding keeps per-process JIT state bounded and uses both cores.
 test:
-	$(PY) -m pytest tests/ -q
+	$(PY) -m pytest tests/ -q -n 2
 
 # skips the two slowest suites (multi-process distributed + parallel tree)
 test-fast:
-	$(PY) -m pytest tests/ -q --ignore=tests/test_distributed.py \
+	$(PY) -m pytest tests/ -q -n 2 --ignore=tests/test_distributed.py \
 	    --ignore=tests/test_parallel_tree.py
 
 bench-small:
