@@ -151,10 +151,10 @@ def _fused_fake_chunk(seed1_base, seed2_base, cell_size, block_tree_depth, n):
     ~36 MB/s, so the chunk takes only two (4,) seed-base vectors (32 B) and
     builds the per-cell seed planes on device."""
     from ..ops.encode import encode_cells_device
-    from ..ops.fake_prng import _gen_scan, seed_planes_device
+    from ..ops.fake_prng import gen_rows, seed_planes_device
 
     s1, s2 = seed_planes_device(seed1_base, seed2_base, n)
-    rows = _gen_scan(s1, s2, cell_size)  # (cell, B) u8
+    rows = gen_rows(s1, s2, cell_size)  # (cell, B) u8
     felts = encode_cells_device(rows.T)
     return H.slot_tree_from_felts(felts, block_tree_depth)
 
@@ -270,13 +270,13 @@ def _fused_fake_chunk_gl(seed1_base, seed2_base, hash_fun, cell_size, block_tree
     pad -> 62-byte felt encode -> rate-8 sponge -> subtree reduce (GL digest
     layers).  Takes 32 B seed bases like _fused_fake_chunk (upload-bound
     tunnel)."""
-    from ..ops.fake_prng import _gen_scan, seed_planes_device
+    from ..ops.fake_prng import gen_rows, seed_planes_device
     from ..ops.gl_encode import encode_cells_gl_device
     from ..parallel.gl_tree import gl_tree_reduce_layers
     from . import gl_hashing as GH
 
     s1, s2 = seed_planes_device(seed1_base, seed2_base, n)
-    rows = _gen_scan(s1, s2, cell_size)  # (cell, B)
+    rows = gen_rows(s1, s2, cell_size)  # (cell, B)
     felts = encode_cells_gl_device(rows, cell_size)
     hashes = GH.sponge_digests(hash_fun, felts)
     return gl_tree_reduce_layers(hashes, hash_fun, (0, block_tree_depth))

@@ -198,6 +198,112 @@ def fake_seed_planes(seed: int, start_idx: int, n: int):
     return s1, jnp.asarray(s2p)
 
 
+# ---------------------------------------------------------------------------
+# Pallas kernel for the byte recurrence.  The scan formulation above is
+# loop-overhead bound on TPU: each of the cell_size sequential steps is ~100
+# elementwise u32 ops on small (4, B) planes, and XLA:TPU schedules the scan
+# body at ~1.5 GB/s of output (tools/profile_stages.py).  Here the whole
+# 2048-step chain runs inside one kernel: state lives in VMEM/vregs, four
+# recurrence steps are unrolled per loop iteration, and their four bytes are
+# packed into one u32 output row — the u8 rows never exist on-chip.
+
+_BT_PRNG = 2048  # lane tile; (1, 2048) rows = 16 native (8, 128) vregs
+
+
+def _prng_step(s, s1l, s2l, xor_c, s2p17):
+    """One recurrence step on (1, BT) limb rows; shared by scan and kernel.
+
+    s(s+s1)(s+s2) + s(s^C) + s1*s + s2 + 17
+      == s * [(s+s1)(s+s2) + (s^C) + s1] + s2 + 17   (mod 2^64), then mod M.
+    """
+    inner = _mul64(_add64(s, s1l), _add64(s, s2l))
+    inner = _add64(inner, _xor64(s, xor_c))
+    inner = _add64(inner, s1l)
+    return _mod_m(_add64(_mul64(s, inner), s2p17))
+
+
+_SL = 8  # sublane rows per tile: each limb plane is a native (8, BT/8) tile
+
+
+def _prng_kernel(s1_ref, s2_ref, out_ref, *, n_words: int):
+    from jax.experimental import pallas as pl
+
+    # refs are (4, 1, 8, BT/8); each limb plane is a full native (8, BT/8)
+    # tile — all 8 sublanes carry cells (a (1, BT) row layout wastes 7/8 of
+    # the VPU, measured 1.6 GB/s vs 1.5 GB/s for the scan)
+    s1l = [s1_ref[i, 0] for i in range(4)]
+    s2l = [s2_ref[i, 0] for i in range(4)]
+    xor_c = [jnp.full_like(s1l[0], v) for v in (0x5A5A, 0x5A5A, 0, 0)]
+    s2p17 = _add64(s2l, [jnp.full_like(s1l[0], v) for v in (17, 0, 0, 0)])
+    init = jnp.stack(
+        [jnp.full_like(s1l[0], 1)] + [jnp.zeros_like(s1l[0])] * 3, axis=0
+    )
+
+    def body(w, state):
+        s = [state[i] for i in range(4)]
+        packed = jnp.zeros_like(s[0])
+        for j in range(4):
+            s = _prng_step(s, s1l, s2l, xor_c, s2p17)
+            packed = packed | ((s[0] & 0xFF) << (8 * j))
+        out_ref[pl.ds(w, 1), 0] = packed[None]
+        return jnp.stack(s, axis=0)
+
+    jax.lax.fori_loop(0, n_words, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=("n_steps", "interpret"))
+def _gen_pallas(seed1_planes, seed2_planes, n_steps: int, interpret: bool = False):
+    """(n_steps, B) uint8 byte rows via the Pallas kernel; bit-exact to
+    _gen_scan (tests/test_prng_kernel.py).  Requires n_steps % 4 == 0 and
+    B % _BT_PRNG == 0 (callers fall back to the scan otherwise).
+
+    Cell i lives at (g, r, c) = (i // BT, (i % BT) // (BT/8), i % (BT/8)):
+    a plain row-major reshape on both ends, so no transposes materialize."""
+    from jax.experimental import pallas as pl
+
+    B = seed1_planes.shape[1]
+    n_words = n_steps // 4
+    G = B // _BT_PRNG
+    W = _BT_PRNG // _SL
+    s1v = seed1_planes.reshape(4, G, _SL, W)
+    s2v = seed2_planes.reshape(4, G, _SL, W)
+    packed = pl.pallas_call(
+        functools.partial(_prng_kernel, n_words=n_words),
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((4, 1, _SL, W), lambda g: (0, g, 0, 0)),
+            pl.BlockSpec((4, 1, _SL, W), lambda g: (0, g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((n_words, 1, _SL, W), lambda g: (0, g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n_words, G, _SL, W), U32),
+        interpret=interpret,
+    )(s1v, s2v)
+    # unpack word rows -> byte rows; fuses into the downstream encode
+    rows = jnp.stack(
+        [(packed.reshape(n_words, B) >> (8 * j)) & 0xFF for j in range(4)],
+        axis=1,
+    ).reshape(n_steps, B)
+    return rows.astype(jnp.uint8)
+
+
+def gen_rows(seed1_planes, seed2_planes, n_steps: int):
+    """Byte rows (n_steps, B): Pallas kernel on TPU, scan elsewhere."""
+    impl = os.environ.get("CSPC_PRNG_IMPL", "auto")
+    B = seed1_planes.shape[1]
+    use_pallas = (
+        impl == "pallas"
+        or (
+            impl == "auto"
+            and jax.default_backend() == "tpu"
+            and n_steps % 4 == 0
+            and B % _BT_PRNG == 0
+        )
+    )
+    if use_pallas:
+        return _gen_pallas(seed1_planes, seed2_planes, n_steps)
+    return _gen_scan(seed1_planes, seed2_planes, n_steps)
+
+
 def fake_seed_bases(seed: int, start_idx: int):
     """Tiny (4,) uint32 limb vectors (seed1, seed2 base) for device-side
     seed-plane construction — 32 bytes of upload per chunk instead of the

@@ -52,6 +52,84 @@ def enable_compile_cache(base: str = "/root/.cache/jax_comp") -> str:
     return path
 
 
+# ---------------------------------------------------------------------------
+# AOT executable cache.  The persistent compilation cache (above) skips XLA
+# *backend* compilation, but jax still re-traces and re-lowers the program
+# every process — for the fully-unrolled streaming-chunk jits that tracing
+# is ~100 s of the 1 GB cold start.  Serializing the *compiled* executable
+# (jax.experimental.serialize_executable) skips tracing, lowering AND
+# compilation on reload; the cache key pins everything the executable
+# depends on (jax version, backend, device kind, arg shapes, statics).
+
+_AOT_MEM: dict = {}
+
+
+def _aot_key(name: str, backend, args, statics) -> str:
+    import jax
+
+    dev = jax.devices()[0]
+    sig = repr(
+        (
+            jax.__version__,
+            backend,
+            getattr(dev, "device_kind", "?"),
+            name,
+            statics,
+            [(tuple(a.shape), str(a.dtype)) for a in args],
+        )
+    )
+    return hashlib.sha256(sig.encode()).hexdigest()[:24]
+
+
+def aot_call(jitted, name: str, args: tuple, statics: tuple = (), base: str = "/root/.cache/cspc_aot"):
+    """Call `jitted(*args, *statics)` through an on-disk compiled-executable
+    cache.  Falls back to the plain jit call on any serialization failure
+    (not every PJRT backend supports executable deserialization).  Disable
+    with CSPC_AOT=0."""
+    import jax
+
+    if os.environ.get("CSPC_AOT", "1") == "0":
+        return jitted(*args, *statics)
+    backend = jax.default_backend()
+    key = _aot_key(name, backend, args, statics)
+    compiled = _AOT_MEM.get(key)
+    if compiled is None:
+        path = os.path.join(machine_cache_dir(base), key + ".jaxexec")
+        if os.path.exists(path):
+            try:
+                import pickle
+
+                from jax.experimental.serialize_executable import (
+                    deserialize_and_load,
+                )
+
+                with open(path, "rb") as f:
+                    payload, in_tree, out_tree = pickle.load(f)
+                compiled = deserialize_and_load(payload, in_tree, out_tree)
+            except Exception:
+                compiled = None
+        if compiled is None:
+            try:
+                compiled = jitted.lower(*args, *statics).compile()
+                import pickle
+
+                from jax.experimental.serialize_executable import serialize
+
+                os.makedirs(os.path.dirname(path), exist_ok=True)
+                tmp = path + f".tmp{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    pickle.dump(serialize(compiled), f)
+                os.replace(tmp, path)
+            except Exception:
+                return jitted(*args, *statics)
+        _AOT_MEM[key] = compiled
+    try:
+        return compiled(*args)
+    except Exception:
+        _AOT_MEM.pop(key, None)
+        return jitted(*args, *statics)
+
+
 def measure_sync_overhead(reps: int = 5) -> float:
     """Median wall-clock of a warm tiny device_get round trip.
 

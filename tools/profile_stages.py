@@ -4,7 +4,7 @@ The StreamingStats timers measure async dispatch, so nearly all device time
 lands in finalize (VERDICT r3 weak #3).  This tool times each stage with a
 block_until_ready fence so the breakdown sums to the wall:
 
-  prng      — _gen_scan (fake-data byte recurrence) alone
+  prng      — gen_rows (fake-data byte recurrence; Pallas kernel on TPU) alone
   encode    — byte rows -> felt limb planes alone
   sponge    — cell hashing alone
   reduce    — tree reduction alone
@@ -36,15 +36,22 @@ import jax
 import jax.numpy as jnp
 
 
+def _fence(r):
+    # On the tunneled axon backend block_until_ready can return before
+    # Pallas-containing computations execute; fetching one element is the
+    # only reliable fence (docs/KERNEL_ANALYSIS.md round-4 timing caveat).
+    leaf = jax.tree_util.tree_leaves(r)[-1]
+    np.asarray(jax.device_get(jnp.ravel(leaf)[:1]))
+
+
 def timed(fn, iters=4):
-    fn()  # warm/compile
-    jax.effects_barrier()
+    _fence(fn())  # warm/compile
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
             r = fn()
-        jax.block_until_ready(r)
+        _fence(r)
         best = min(best, (time.perf_counter() - t0 - SYNC) / iters)
     return best
 
@@ -57,7 +64,7 @@ def main():
     B = 1 << chunk_log
 
     from codex_storage_proofs_circuits_tpu.ops.fake_prng import (
-        _gen_scan,
+        gen_rows,
         fake_seed_planes,
     )
 
@@ -66,9 +73,9 @@ def main():
     print(f"field={'gl' if gl else 'bn254'} chunk=2^{chunk_log} "
           f"cells=2^{cells_log} sync={SYNC*1e3:.1f}ms", flush=True)
 
-    t = timed(lambda: _gen_scan(s1, s2, cell_size))
+    t = timed(lambda: gen_rows(s1, s2, cell_size))
     print(f"prng:   {t*1e3:8.1f} ms/chunk  ({B*cell_size/t/1e6:.0f} MB/s)", flush=True)
-    rows = _gen_scan(s1, s2, cell_size)
+    rows = gen_rows(s1, s2, cell_size)
 
     if gl:
         from codex_storage_proofs_circuits_tpu.ops.gl_encode import (
