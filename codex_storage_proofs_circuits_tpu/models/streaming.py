@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..oracle.slot import SlotConfig
 from ..ops import limbs as L
 from ..ops.encode import encode_cells
+from ..utils.cache import aot_call
 from . import data as D
 from . import hashing as H
 
@@ -213,7 +214,16 @@ def streaming_slot_layers(
 
             s1, s2 = fake_seed_bases(cfg.data_src.seed, c * chunk_cells)
             t1 = t2 = time.perf_counter()
-            layers = _fused_fake_chunk(s1, s2, cfg.cell_size, btd, chunk_cells)
+            # aot_call: the fully-unrolled chunk program costs ~180 s of
+            # host-side tracing/lowering per process (which the persistent
+            # compile cache cannot skip); the serialized executable reloads
+            # in ~3 s (docs/KERNEL_ANALYSIS.md round-5 addendum)
+            layers = aot_call(
+                _fused_fake_chunk,
+                "fused_fake_chunk",
+                (s1, s2),
+                (cfg.cell_size, btd, chunk_cells),
+            )
         else:
             idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
             cells = D.load_cells(cfg, idx)
@@ -243,7 +253,7 @@ def streaming_slot_layers(
         # One jit for the whole tail: run eagerly, every op pays a full
         # dispatch round-trip on the tunneled backend (~8 s of latency for
         # ~16 roots of real work).
-        out.extend(_chunk_tops_jit(out[-1], btd, chunk_depth))
+        out.extend(aot_call(_chunk_tops_jit, "chunk_tops", (out[-1],), (btd, chunk_depth)))
     out[-1].block_until_ready()
     st.finalize_s += time.perf_counter() - t0
     return out
@@ -320,8 +330,11 @@ def streaming_slot_layers_gl(
 
             s1, s2 = fake_seed_bases(cfg.data_src.seed, c * chunk_cells)
             t1 = time.perf_counter()
-            layers = _fused_fake_chunk_gl(
-                s1, s2, hash_fun, cfg.cell_size, btd, chunk_cells
+            layers = aot_call(
+                _fused_fake_chunk_gl,
+                "fused_fake_chunk_gl",
+                (s1, s2),
+                (hash_fun, cfg.cell_size, btd, chunk_cells),
             )
         else:
             idx = np.arange(c * chunk_cells, (c + 1) * chunk_cells)
@@ -346,7 +359,14 @@ def streaming_slot_layers_gl(
         seg[0] if len(seg) == 1 else jnp.concatenate(seg, axis=2) for seg in segments
     ]
     if n_chunks > 1:
-        out.extend(_chunk_tops_gl_jit(out[-1], hash_fun, btd, chunk_depth))
+        out.extend(
+            aot_call(
+                _chunk_tops_gl_jit,
+                "chunk_tops_gl",
+                (out[-1],),
+                (hash_fun, btd, chunk_depth),
+            )
+        )
     out[-1].block_until_ready()
     st.finalize_s += time.perf_counter() - t0
     return out

@@ -159,23 +159,12 @@ def _gen_scan(seed1_planes, seed2_planes, n_steps: int):
     while k < k_max and n_steps % (k * 2) == 0:
         k *= 2
 
-    def step(state):
-        # s(s+s1)(s+s2) + s(s^C) + s1*s + s2 + 17
-        #   == s * [(s+s1)(s+s2) + (s^C) + s1] + s2 + 17   (mod 2^64)
-        # — the factored form does 2 mul64 instead of 4 (~35% of the step)
-        inner = _mul64(_add64(state, s1), _add64(state, s2))
-        inner = _add64(inner, _xor64(state, xor_c))
-        inner = _add64(inner, s1)
-        t = _add64(_mul64(state, inner), s2p17)
-        new = _mod_m(t)
-        return new, (new[0] & 0xFF).astype(jnp.uint8)
-
     def body(state, _):
         s = [state[i] for i in range(4)]
         rows = []
         for _ in range(k):
-            s, byte = step(s)
-            rows.append(byte)
+            s = _prng_step(s, s1, s2, xor_c, s2p17)
+            rows.append((s[0] & 0xFF).astype(jnp.uint8))
         return jnp.stack(s), jnp.stack(rows)
 
     _, bytes_rows = jax.lax.scan(
@@ -290,14 +279,16 @@ def gen_rows(seed1_planes, seed2_planes, n_steps: int):
     """Byte rows (n_steps, B): Pallas kernel on TPU, scan elsewhere."""
     impl = os.environ.get("CSPC_PRNG_IMPL", "auto")
     B = seed1_planes.shape[1]
-    use_pallas = (
-        impl == "pallas"
-        or (
-            impl == "auto"
-            and jax.default_backend() == "tpu"
-            and n_steps % 4 == 0
-            and B % _BT_PRNG == 0
+    if impl == "pallas" and (n_steps % 4 != 0 or B % _BT_PRNG != 0):
+        raise ValueError(
+            f"CSPC_PRNG_IMPL=pallas requires n_steps % 4 == 0 and batch % "
+            f"{_BT_PRNG} == 0; got n_steps={n_steps}, batch={B}"
         )
+    use_pallas = impl == "pallas" or (
+        impl == "auto"
+        and jax.default_backend() == "tpu"
+        and n_steps % 4 == 0
+        and B % _BT_PRNG == 0
     )
     if use_pallas:
         return _gen_pallas(seed1_planes, seed2_planes, n_steps)
@@ -333,5 +324,5 @@ def seed_planes_device(seed1_base, seed2_base, n: int):
 def gen_fake_cells_device(cell_size: int, seed: int, start_idx: int, n: int):
     """(n, cell_size) uint8 fake cells on device, == oracle slot.gen_fake_cell."""
     s1, s2 = fake_seed_planes(seed, start_idx, n)
-    rows = _gen_scan(s1, s2, cell_size)
+    rows = gen_rows(s1, s2, cell_size)  # Pallas fast path on TPU, scan elsewhere
     return rows.T  # (n, cell_size)

@@ -62,17 +62,50 @@ def enable_compile_cache(base: str = "/root/.cache/jax_comp") -> str:
 # depends on (jax version, backend, device kind, arg shapes, statics).
 
 _AOT_MEM: dict = {}
+_CODE_FP: str | None = None
+
+
+def _code_fingerprint() -> str:
+    """Digest of the package's own source tree.  The serialized executable
+    embeds code compiled from these files; without this term in the key, a
+    code change to a cached function would silently deserialize the OLD
+    executable and return stale results (unlike the HLO-keyed persistent
+    compile cache, which re-keys automatically)."""
+    global _CODE_FP
+    if _CODE_FP is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        h = hashlib.sha256()
+        for dirpath, dirnames, filenames in os.walk(root):
+            dirnames.sort()
+            if "__pycache__" in dirnames:
+                dirnames.remove("__pycache__")
+            for fn in sorted(filenames):
+                if fn.endswith((".py", ".c", ".h")):
+                    p = os.path.join(dirpath, fn)
+                    h.update(os.path.relpath(p, root).encode())
+                    with open(p, "rb") as f:
+                        h.update(f.read())
+        _CODE_FP = h.hexdigest()[:16]
+    return _CODE_FP
 
 
 def _aot_key(name: str, backend, args, statics) -> str:
     import jax
 
     dev = jax.devices()[0]
+    # CSPC_* env knobs (CSPC_NORM, CSPC_PRNG_IMPL, ...) select code paths at
+    # trace time, so they are part of the executable's identity (CSPC_AOT
+    # itself is harmless but cheap to include).
+    env_knobs = sorted(
+        (k, v) for k, v in os.environ.items() if k.startswith("CSPC_")
+    )
     sig = repr(
         (
             jax.__version__,
             backend,
             getattr(dev, "device_kind", "?"),
+            _code_fingerprint(),
+            env_knobs,
             name,
             statics,
             [(tuple(a.shape), str(a.dtype)) for a in args],

@@ -56,6 +56,11 @@ os.environ.pop("JAX_COMPILATION_CACHE_DIR", None)
 # only the env dir removed, stack still in compilation_cache get/put)
 os.environ["JAX_ENABLE_COMPILATION_CACHE"] = "false"
 os.environ["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1000000"
+# The AOT executable cache (utils.cache.aot_call) uses the same XLA:CPU
+# serialize path that crashes in full-suite accumulation state — off by
+# default here; tests/test_aot_cache.py opts in explicitly for its own
+# isolated roundtrip checks.
+os.environ.setdefault("CSPC_AOT", "0")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
