@@ -321,30 +321,47 @@ def _perm_kernel(
         out_ref[2 * NL : 3 * NL, lo : lo + cw] = _exact_canonical(z, p)
 
 
-def _sponge2_kernel(rc_ref, cp_ref, blocks_ref, out_ref, *, rounds=(4, 56, 4)):
+def _sponge2_kernel(
+    rc_ref, cp_ref, blocks_ref, out_ref, *, rounds=(4, 56, 4), n_chains: int = 1
+):
     """Fused rate-2 sponge: all absorb rounds chained in-kernel, state loose
     between permutations (column forms < 1.001P; absorb adds keep entry
-    values < 2.01P, inside the 5.2P entry contract of _perm_core)."""
+    values < 2.01P, inside the 5.2P entry contract of _perm_core).
+
+    n_chains > 1 splits the tile's lanes into independent dependence chains
+    *inside one fori body* (separate fori loops would serialize at the loop
+    boundary), so Mosaic can interleave the chains' serial Montgomery
+    quotient rows like the permutation kernel does (docs/KERNEL_ANALYSIS.md
+    round-4 ablation)."""
     bt = blocks_ref.shape[1]
     nb = blocks_ref.shape[0] // (2 * NL)
+    cw = bt // n_chains
 
     def rc(col):
-        return jnp.broadcast_to(rc_ref[:, col : col + 1], (NL, bt))
+        return jnp.broadcast_to(rc_ref[:, col : col + 1], (NL, cw))
 
-    p = cp_ref[0:NL, :]
-    negp = cp_ref[NL : 2 * NL, :]
-    zero = jnp.zeros((NL, bt), U32)
+    zero = jnp.zeros((NL, cw), U32)
     iv = rc(IV2_COL)
 
-    def body(b, xyz):
-        x, y, z = xyz
-        blk = blocks_ref[pl.ds(pl.multiple_of(b * 2 * NL, 2 * NL), 2 * NL), :]
-        x = x + blk[0:NL]
-        y = y + blk[NL : 2 * NL]
-        return _perm_core(rc, p, negp, x, y, z, rounds=rounds)
+    def chain_views(c):
+        lo = c * cw
+        return cp_ref[0:NL, lo : lo + cw], cp_ref[NL : 2 * NL, lo : lo + cw]
 
-    x, _y, _z = jax.lax.fori_loop(0, nb, body, (zero, zero, iv))
-    out_ref[:] = _exact_canonical(x, p)
+    def body(b, states):
+        blk = blocks_ref[pl.ds(pl.multiple_of(b * 2 * NL, 2 * NL), 2 * NL), :]
+        out = []
+        for c in range(n_chains):
+            p, negp = chain_views(c)
+            x, y, z = states[3 * c : 3 * c + 3]
+            x = x + blk[0:NL, c * cw : (c + 1) * cw]
+            y = y + blk[NL : 2 * NL, c * cw : (c + 1) * cw]
+            out.extend(_perm_core(rc, p, negp, x, y, z, rounds=rounds))
+        return tuple(out)
+
+    states = jax.lax.fori_loop(0, nb, body, (zero, zero, iv) * n_chains)
+    for c in range(n_chains):
+        p, _ = chain_views(c)
+        out_ref[:, c * cw : (c + 1) * cw] = _exact_canonical(states[3 * c], p)
 
 
 # sponge tiles above this VMEM budget fall back to per-permutation calls
@@ -362,6 +379,7 @@ def _sponge2_absorb_impl(
     batch_tile: int = 512,
     interpret: bool = False,
     rounds: tuple = (4, 56, 4),
+    n_chains: int = 1,
 ) -> jnp.ndarray:
     """Fused-kernel rate-2 sponge over pre-padded Montgomery blocks.
 
@@ -376,10 +394,11 @@ def _sponge2_absorb_impl(
     nb, two, nl, b = blocks.shape
     assert two == 2 and nl == NL
     assert b % batch_tile == 0, (b, batch_tile)
+    assert batch_tile % n_chains == 0
     flat = blocks.reshape(nb * 2 * NL, b)
     cp = np.repeat(CONST_PLANES.reshape(2 * NL, 1), batch_tile, axis=1)
     return pl.pallas_call(
-        functools.partial(_sponge2_kernel, rounds=rounds),
+        functools.partial(_sponge2_kernel, rounds=rounds, n_chains=n_chains),
         out_shape=jax.ShapeDtypeStruct((NL, b), jnp.uint32),
         grid=(b // batch_tile,),
         in_specs=[
@@ -395,7 +414,7 @@ def _sponge2_absorb_impl(
 
 
 sponge2_absorb = functools.partial(
-    jax.jit, static_argnames=("batch_tile", "interpret", "rounds")
+    jax.jit, static_argnames=("batch_tile", "interpret", "rounds", "n_chains")
 )(_sponge2_absorb_impl)
 
 

@@ -102,6 +102,17 @@ def test_sponge2_kernel_absorb_chain():
     out = K.sponge2_absorb(
         jnp.asarray(blocks), batch_tile=tile, interpret=True, rounds=(1, 0, 0)
     )
+    # n_chains=2 splits the tile lanes into two in-body dependence chains;
+    # must be bit-identical (measured moot for throughput on HW — the fori
+    # body already saturates scheduling — but the knob stays semantics-safe)
+    out2 = K.sponge2_absorb(
+        jnp.asarray(blocks),
+        batch_tile=tile,
+        interpret=True,
+        rounds=(1, 0, 0),
+        n_chains=2,
+    )
+    assert np.array_equal(np.asarray(out), np.asarray(out2))
     got = L.unpack(out)
     for b in range(B):
         x, y, z = 0, 0, O.SPONGE2_IV % bn254.P
