@@ -210,8 +210,13 @@ def _bench_slot_root(on_tpu: bool, small: bool) -> dict:
     }
 
 
-def _bench_gl_slot_root(on_tpu: bool, small: bool) -> dict:
-    """GL (default-field) slot-root build wall-clock via the streaming path."""
+def _bench_gl_slot_root(on_tpu: bool, small: bool, hash_fun: str = "poseidon2") -> dict:
+    """GL (default-field) slot-root build wall-clock via the streaming path.
+
+    hash_fun selects the reference's two Goldilocks instances
+    (reference/nim/proof_input/src/types.nim:93-109): poseidon2 (default)
+    or monolith.
+    """
     from codex_storage_proofs_circuits_tpu.models.streaming import (
         StreamingStats,
         streaming_slot_root_gl,
@@ -236,20 +241,24 @@ def _bench_gl_slot_root(on_tpu: bool, small: bool) -> dict:
             data_src=DataSource("fake", seed=12345),
         )
         chunk = 32
-    root0 = streaming_slot_root_gl(cfg, chunk_cells=chunk)
+    tag = "gl" if hash_fun == "poseidon2" else hash_fun
+    t0 = time.perf_counter()
+    root0 = streaming_slot_root_gl(cfg, hash_fun, chunk_cells=chunk)
+    cold = time.perf_counter() - t0
     stats = StreamingStats()
     t0 = time.perf_counter()
-    root = streaming_slot_root_gl(cfg, chunk_cells=chunk, stats=stats)
+    root = streaming_slot_root_gl(cfg, hash_fun, chunk_cells=chunk, stats=stats)
     wall = time.perf_counter() - t0
     assert root == root0
     slot_bytes = cfg.cell_size * cfg.n_cells
     return {
-        "gl_slot_root_wall_s": wall,
+        f"{tag}_slot_root_wall_s": wall,
+        f"{tag}_slot_root_cold_s": cold,
         "slot_bytes": slot_bytes,
         "cell_size": cfg.cell_size,
         "n_cells": cfg.n_cells,
-        "gl_slot_mb_per_s": slot_bytes / wall / 1e6,
-        "gl_slot_root": [str(v) for v in root],
+        f"{tag}_slot_mb_per_s": slot_bytes / wall / 1e6,
+        f"{tag}_slot_root": [str(v) for v in root],
         "stages": stats.as_dict(),
     }
 
@@ -289,6 +298,10 @@ def main() -> int:
             gl_slot = _bench_gl_slot_root(on_tpu, small)
         except Exception as e:
             gl_slot = {"error": f"{type(e).__name__}: {e}"}
+        try:
+            mono_slot = _bench_gl_slot_root(on_tpu, small, hash_fun="monolith")
+        except Exception as e:
+            mono_slot = {"error": f"{type(e).__name__}: {e}"}
 
     per_sec = comp["compress_per_s"]
 
@@ -316,10 +329,12 @@ def main() -> int:
 
     bn_imp = _implied(slot, "slot_root_wall_s", "bn254")
     gl_imp = _implied(gl_slot, "gl_slot_root_wall_s", "gl")
+    mono_imp = _implied(mono_slot, "monolith_slot_root_wall_s", "gl")
     consistency = []
     for name, imp, kernel in (
         ("bn254", bn_imp, per_sec),
         ("gl", gl_imp, glc.get("gl_compress_per_s")),
+        ("monolith", mono_imp, glc.get("monolith_compress_per_s")),
     ):
         if imp and kernel:
             ratio = imp["implied_perm_per_s"] / kernel
@@ -343,8 +358,14 @@ def main() -> int:
             "gl_compress_per_s": round(glc.get("gl_compress_per_s", -1.0), 1),
             "gl_slot_root_wall_s": round(gl_slot.get("gl_slot_root_wall_s", -1.0), 3),
             "monolith_compress_per_s": round(glc.get("monolith_compress_per_s", -1.0), 1),
+            "monolith_slot_root_wall_s": round(
+                mono_slot.get("monolith_slot_root_wall_s", -1.0), 3
+            ),
+            "slot_root_cold_s": round(slot.get("slot_root_cold_s", -1.0), 3),
+            "gl_slot_root_cold_s": round(gl_slot.get("gl_slot_root_cold_s", -1.0), 3),
             "bn254_pipeline_efficiency": bn_imp.get("pipeline_efficiency", -1.0),
             "gl_pipeline_efficiency": gl_imp.get("pipeline_efficiency", -1.0),
+            "monolith_pipeline_efficiency": mono_imp.get("pipeline_efficiency", -1.0),
             "consistency": "; ".join(consistency) if consistency else "ok",
         },
     }
@@ -357,6 +378,7 @@ def main() -> int:
         "gl_compress": glc,
         "slot_root": slot,
         "gl_slot_root": gl_slot,
+        "monolith_slot_root": mono_slot,
     }
     try:
         with open(os.path.join(os.path.dirname(__file__), "bench_metrics.json"), "w") as f:

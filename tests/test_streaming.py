@@ -1,6 +1,7 @@
 """Chunked streaming slot build vs the one-shot device build and the oracle."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from codex_storage_proofs_circuits_tpu.models import data as D
@@ -88,7 +89,8 @@ def test_streaming_checkpoint_resume(tmp_path):
     assert ChunkCheckpoint(ck, cfg2, 8).done == set()
 
 
-def test_streaming_gl_matches_oracle():
+@pytest.mark.parametrize("hash_fun", ["poseidon2", "monolith"])
+def test_streaming_gl_matches_oracle(hash_fun):
     from codex_storage_proofs_circuits_tpu.models.streaming import (
         streaming_slot_root_gl,
     )
@@ -103,8 +105,8 @@ def test_streaming_gl_matches_oracle():
         n_samples=1,
         data_src=DataSource("fake", seed=12345),
     )
-    got = streaming_slot_root_gl(cfg, chunk_cells=16)
-    assert got == calc_slot_tree_gl("poseidon2", cfg).root
+    got = streaming_slot_root_gl(cfg, hash_fun, chunk_cells=16)
+    assert got == calc_slot_tree_gl(hash_fun, cfg).root
 
 
 def test_streaming_gl_proof_input_matches_oracle():
