@@ -389,8 +389,11 @@ def main() -> int:
         baseline.setdefault("published", {})[backend] = {
             "poseidon2_compress_per_s_per_chip": round(per_sec, 1),
             "gl_compress_per_s_per_chip": glc.get("gl_compress_per_s"),
+            "monolith_compress_per_s_per_chip": glc.get("monolith_compress_per_s"),
             "slot_root_wall_s": slot.get("slot_root_wall_s"),
             "gl_slot_root_wall_s": gl_slot.get("gl_slot_root_wall_s"),
+            "monolith_slot_root_wall_s": mono_slot.get("monolith_slot_root_wall_s"),
+            "slot_root_cold_s": slot.get("slot_root_cold_s"),
             "slot_bytes": slot.get("slot_bytes"),
         }
         with open(baseline_path, "w") as f:
